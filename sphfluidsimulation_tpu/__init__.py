@@ -1,0 +1,22 @@
+"""sphfluidsimulation_tpu — TPU-native SPH fluid simulation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the Unity
+compute-shader simulator ``leandro-barcelos/SPHFluidSimulation`` (see
+SURVEY.md for the structural map of the reference). Public API:
+
+    from sphfluidsimulation_tpu import SimConfig, Scene
+    scene = Scene(SimConfig(particle_number=65536))
+    scene.step(100)
+"""
+
+from .config import GOLDEN_CONFIG, TINY_CONFIG, SimConfig  # noqa: F401
+from .state import FrameAux, ParticleState, StepMetrics, make_state  # noqa: F401
+from .models.scene import Scene  # noqa: F401
+from .sim.stepper import (  # noqa: F401
+    initial_state,
+    integrate_substep,
+    make_frame_step,
+    make_rollout,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,104 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (SURVEY.md section 4
+item 5): sharded domain step == single-device step; vmapped batch == loop
+of single sims; combined 2D (dp x sp) step runs and matches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from sphfluidsimulation_tpu.config import SimConfig
+from sphfluidsimulation_tpu.params import PhysParams, stack_params
+from sphfluidsimulation_tpu.parallel.batch import BatchedScenes
+from sphfluidsimulation_tpu.parallel.domain import (
+    make_batched_sharded_step,
+    make_sharded_frame_step,
+    shard_state,
+)
+from sphfluidsimulation_tpu.sim.stepper import initial_state, make_frame_step
+
+CFG = SimConfig(particle_number=1024, bucket_resolution=11)
+
+
+def _mesh(shape, names):
+    return Mesh(np.array(jax.devices()[:int(np.prod(shape))]).reshape(shape),
+                names)
+
+
+def test_sharded_domain_matches_single_device():
+    mesh = _mesh((8,), ("sp",))
+    phys = PhysParams.from_config(CFG)
+    st = initial_state(CFG)
+    ref_step = jax.jit(make_frame_step(CFG))
+    sh_step = jax.jit(make_sharded_frame_step(CFG, mesh))
+    s_ref, m_ref = ref_step(st)
+    s_sh, m_sh = sh_step(shard_state(st, mesh), phys)
+    np.testing.assert_allclose(np.asarray(s_sh.pos), np.asarray(s_ref.pos),
+                               atol=2e-6)
+    assert float(m_sh.mean_density) == pytest.approx(
+        float(m_ref.mean_density), rel=1e-5)
+    assert int(m_sh.overflow) == int(m_ref.overflow)
+
+
+def test_sharded_domain_two_frames():
+    mesh = _mesh((4,), ("sp",))
+    phys = PhysParams.from_config(CFG)
+    st = initial_state(CFG)
+    ref_step = jax.jit(make_frame_step(CFG))
+    sh_step = jax.jit(make_sharded_frame_step(CFG, mesh))
+    s_ref, _ = ref_step(st)
+    s_ref, _ = ref_step(s_ref)
+    s_sh, _ = sh_step(shard_state(st, mesh), phys)
+    s_sh, _ = sh_step(s_sh, phys)
+    # velocities explode chaotically in this config; compare positions,
+    # which the clamp keeps in [0,1]
+    np.testing.assert_allclose(np.asarray(s_sh.pos), np.asarray(s_ref.pos),
+                               atol=5e-4)
+
+
+def test_batched_scenes_match_scene_loop():
+    mesh = _mesh((8,), ("scene",))
+    overrides = [{"rest_density": 1.0 + 0.1 * i} for i in range(8)]
+    bs = BatchedScenes(CFG, overrides, mesh=mesh)
+    bs.step(2)
+    # scene 3 standalone
+    c3 = CFG.replace(**overrides[3])
+    step = jax.jit(make_frame_step(c3))
+    s = initial_state(c3)
+    for _ in range(2):
+        s, _ = step(s)
+    np.testing.assert_allclose(np.asarray(bs.states.pos[3]),
+                               np.asarray(s.pos), atol=2e-6)
+
+
+def test_batched_scenes_rejects_structural_mismatch():
+    with pytest.raises(ValueError):
+        BatchedScenes(CFG, [{"particle_number": 4096}])
+
+
+def test_2d_dp_sp_step():
+    mesh = _mesh((2, 4), ("dp", "sp"))
+    scenes = [CFG.replace(rest_density=1.2), CFG.replace(rest_density=1.8)]
+    states = [initial_state(c) for c in scenes]
+    state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    phys = stack_params([PhysParams.from_config(c) for c in scenes])
+    step = jax.jit(make_batched_sharded_step(CFG, mesh))
+    new_state, metrics = step(state, phys)
+    assert new_state.pos.shape == (2, CFG.n_particles, 3)
+    # each scene must match its own single-device step
+    for i, c in enumerate(scenes):
+        s_ref, _ = jax.jit(make_frame_step(c))(states[i])
+        np.testing.assert_allclose(np.asarray(new_state.pos[i]),
+                                   np.asarray(s_ref.pos), atol=2e-6)
+    assert metrics.mean_density.shape == (2,)
+
+
+def test_graft_entry_contract():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    # compile-check only (driver does the same single-chip)
+    jax.eval_shape(fn, *args)
+    g.dryrun_multichip(8)
