@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Driver benchmark entry: prints ONE JSON line.
+
+Measures particle-substeps/sec/chip on the canonical dam-break (the
+reference's only shipped workload, scaled per BASELINE.md). Falls back to
+smaller particle counts if the large config cannot run (the tunneled TPU
+worker has limited memory/stability), and always prints a single JSON line.
+"""
+
+import json
+import sys
+import traceback
+
+
+def main() -> int:
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from sphfluidsimulation_tpu.bench import run_bench
+
+    last_err = None
+    for n, frames in ((1 << 20, 20), (1 << 18, 20), (1 << 16, 30)):
+        try:
+            result = run_bench(n_particles=n, frames=frames)
+            print(json.dumps(result))
+            return 0
+        except Exception as e:  # noqa: BLE001 — must always emit one line
+            last_err = f"{type(e).__name__}: {e}"
+            traceback.print_exc(file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "particle-substeps/sec/chip (dam-break, faithful mode)",
+        "value": 0.0,
+        "unit": "particle-substeps/s",
+        "vs_baseline": 0.0,
+        "error": last_err,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""Throughput benchmark: particle-substeps/sec/chip on the dam-break.
+
+Workload: the reference's canonical dam-break scene (preset 2 spawn, golden
+physics constants, SampleScene.unity:362-376) scaled to the requested
+particle count with the bucket resolution scaled like the golden config
+(occupancy-preserving: R ∝ N^(1/3), golden 262144 → 47).
+
+Methodology: one jitted ``lax.scan`` rollout per chunk (a single device
+dispatch — per-dispatch latency on the tunneled TPU is seconds);
+synchronization forces a scalar transfer because block_until_ready can
+return early over the tunnel (utils/profiling.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from .config import SimConfig
+from .sim.stepper import initial_state, make_rollout
+from .utils.profiling import device_sync
+
+NORTH_STAR = 1e9  # particle-substeps/sec/chip @ 1M (BASELINE.json)
+
+
+def scaled_config(n_particles: int) -> SimConfig:
+    """Golden physics at a given N; R scales to preserve voxel occupancy."""
+    base_r = 47
+    r = max(3, round(base_r * (n_particles / 262144.0) ** (1.0 / 3.0)))
+    return SimConfig(particle_number=n_particles, bucket_resolution=r)
+
+
+def run_bench(n_particles: int = 1 << 20, frames: int = 20,
+              warmup_frames: int = 5, neighbor: str = "slotted") -> dict:
+    cfg = scaled_config(n_particles)
+    state = initial_state(cfg)
+
+    warm = make_rollout(cfg, warmup_frames, neighbor=neighbor)
+    t0 = time.perf_counter()
+    out = warm(state)
+    device_sync(out[0].pos)
+    compile_s = time.perf_counter() - t0
+    state = out[0]
+
+    roll = make_rollout(cfg, frames, neighbor=neighbor)
+    out = roll(state)          # separate compile for the timed length
+    device_sync(out[0].pos)
+    t0 = time.perf_counter()
+    out = roll(out[0])
+    device_sync(out[0].pos)
+    elapsed = time.perf_counter() - t0
+
+    rate = cfg.n_particles * cfg.substeps * frames / elapsed
+    return {
+        "metric": "particle-substeps/sec/chip (dam-break, faithful mode)",
+        "value": round(rate, 1),
+        "unit": "particle-substeps/s",
+        "vs_baseline": round(rate / NORTH_STAR, 4),
+        "n_particles": cfg.n_particles,
+        "bucket_resolution": cfg.bucket_resolution,
+        "frames_timed": frames,
+        "elapsed_s": round(elapsed, 3),
+        "compile_plus_warmup_s": round(compile_s, 1),
+        "neighbor": neighbor,
+        "device": str(jax.devices()[0]),
+    }

@@ -1,0 +1,184 @@
+"""Command-line runner.
+
+The reference's "user interface" is the Unity inspector (15 serialized
+fields, SphFluidSimulation.cs:34-53) plus play mode. The equivalent here:
+``python -m sphfluidsimulation_tpu run`` with one flag per inspector field,
+plus the framework services the reference lacks (checkpoint/resume, metrics
+JSONL, frame export, throughput bench).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_config_flags(p: argparse.ArgumentParser) -> None:
+    # one flag per reference inspector field (SphFluidSimulation.cs:34-53)
+    p.add_argument("--preset", type=int, default=1,
+                   help="spawn kernel index: 0 dam, 1 centered column, "
+                        "2 corner column (scene default 1)")
+    p.add_argument("--particles", type=int, default=262144)
+    p.add_argument("--bucket-resolution", type=int, default=47)
+    p.add_argument("--dam-fill-rate", type=float, default=0.8)
+    p.add_argument("--viscosity", type=float, default=0.01)
+    p.add_argument("--rest-density", type=float, default=1.5)
+    p.add_argument("--gas-constant", type=float, default=150.0)
+    p.add_argument("--stiffness", type=float, default=5000.0)
+    p.add_argument("--damping", type=float, default=10.0)
+    p.add_argument("--particle-radius", type=float, default=0.01)
+    p.add_argument("--low-speed", type=float, default=0.0)
+    p.add_argument("--high-speed", type=float, default=0.5)
+    p.add_argument("--frame-dt", type=float, default=1.0 / 60.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--neighbor", choices=["slotted", "gather", "brute"],
+                   default="slotted")
+    p.add_argument("--corrected", action="store_true",
+                   help="rebuild bucket+density every substep instead of "
+                        "the reference's once-per-frame reuse")
+
+
+def _config_from_args(a) -> "SimConfig":
+    from .config import SimConfig
+    return SimConfig(
+        preset=a.preset, particle_number=a.particles,
+        bucket_resolution=a.bucket_resolution, dam_fill_rate=a.dam_fill_rate,
+        viscosity=a.viscosity, rest_density=a.rest_density,
+        gas_constant=a.gas_constant, stiffness_coefficient=a.stiffness,
+        damping_coefficient=a.damping, particle_radius=a.particle_radius,
+        low_speed=a.low_speed, high_speed=a.high_speed, frame_dt=a.frame_dt,
+        seed=a.seed,
+    ).validate()
+
+
+def cmd_run(a) -> int:
+    import jax
+
+    from .models.scene import Scene
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+    from .utils.metrics import MetricsLogger
+
+    if a.resume:
+        from .sim.stepper import make_frame_step
+        state, cfg, meta = load_checkpoint(a.resume)
+        scene = Scene(cfg, neighbor=a.neighbor, faithful=not a.corrected)
+        scene.state = state
+        scene.frame = meta.get("frame", 0)
+        print(f"resumed frame {scene.frame} from {a.resume}")
+    else:
+        cfg = _config_from_args(a)
+        scene = Scene(cfg, neighbor=a.neighbor, faithful=not a.corrected)
+
+    log = MetricsLogger(a.metrics, n_particles=scene.cfg.n_particles,
+                        substeps=scene.cfg.substeps)
+    export_every = a.export_every if a.export_dir else 0
+    if a.export_dir:
+        os.makedirs(a.export_dir, exist_ok=True)
+
+    for _ in range(a.frames):
+        scene.step()
+        rec = log.log(scene.frame, scene.last_metrics)
+        if a.verbose:
+            print(json.dumps(rec))
+        if a.checkpoint and a.checkpoint_every and \
+                scene.frame % a.checkpoint_every == 0:
+            save_checkpoint(a.checkpoint, scene.state, scene.cfg,
+                            frame=scene.frame)
+        if export_every and scene.frame % export_every == 0:
+            _export_frame(scene, a.export_dir)
+
+    if a.checkpoint:
+        save_checkpoint(a.checkpoint, scene.state, scene.cfg,
+                        frame=scene.frame)
+        print(f"checkpoint → {a.checkpoint}")
+    last = log.history[-1] if log.history else {}
+    print(json.dumps({"frames": scene.frame, **last}))
+    return 0
+
+
+def _export_frame(scene, out_dir: str) -> None:
+    import numpy as np
+
+    from .render.export import render_frame_png, save_png
+    from .render.meshprops import RenderParams, speed_colors
+
+    rp = RenderParams.from_config(scene.cfg)
+    colors = np.asarray(speed_colors(scene.state.vel, rp))
+    img = render_frame_png(np.asarray(scene.state.pos), colors,
+                           sim_scale=scene.cfg.sim_scale,
+                           particle_radius=scene.cfg.particle_radius)
+    save_png(os.path.join(out_dir, f"frame_{scene.frame:05d}.png"), img)
+
+
+def cmd_export(a) -> int:
+    import numpy as np
+
+    from .render.export import render_frame_png, save_png, save_ply
+    from .render.meshprops import RenderParams, speed_colors
+    from .utils.checkpoint import load_checkpoint
+
+    state, cfg, meta = load_checkpoint(a.checkpoint)
+    rp = RenderParams.from_config(cfg)
+    colors = np.asarray(speed_colors(state.vel, rp))
+    pos = np.asarray(state.pos)
+    if a.png:
+        save_png(a.png, render_frame_png(
+            pos, colors, sim_scale=cfg.sim_scale,
+            particle_radius=cfg.particle_radius))
+        print(f"png → {a.png}")
+    if a.ply:
+        save_ply(a.ply, pos, colors)
+        print(f"ply → {a.ply}")
+    return 0
+
+
+def cmd_bench(a) -> int:
+    from .bench import run_bench
+    result = run_bench(n_particles=a.particles, frames=a.frames,
+                       warmup_frames=a.warmup, neighbor=a.neighbor)
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="sphfluidsimulation_tpu",
+        description="TPU-native SPH fluid simulation")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="advance a scene and export artifacts")
+    _add_config_flags(p)
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--metrics", type=str, default=None,
+                   help="JSONL metrics path")
+    p.add_argument("--export-dir", type=str, default=None)
+    p.add_argument("--export-every", type=int, default=10)
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("export", help="render a checkpoint to png/ply")
+    p.add_argument("checkpoint")
+    p.add_argument("--png", type=str, default=None)
+    p.add_argument("--ply", type=str, default=None)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("bench", help="measure throughput")
+    p.add_argument("--particles", type=int, default=1048576)
+    p.add_argument("--frames", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--neighbor", choices=["slotted", "gather"],
+                   default="slotted")
+    p.set_defaults(fn=cmd_bench)
+
+    a = parser.parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,7 +19,7 @@ from ..sim.stepper import initial_state, make_frame_step
 
 
 class Scene:
-    def __init__(self, cfg: SimConfig | None = None, *, neighbor: str = "grid",
+    def __init__(self, cfg: SimConfig | None = None, *, neighbor: str = "slotted",
                  faithful: bool = True, jit: bool = True):
         self.cfg = (cfg or SimConfig()).validate()
         self.neighbor = neighbor

@@ -1,0 +1,111 @@
+"""Host-side frame export: point-sprite PNG rendering and PLY meshes.
+
+The reference draws speed-colored instanced spheres with alpha blending and
+no depth write (InstancedIndirectColor.shader:6-7, 42-44) via
+DrawMeshInstancedIndirect (SphFluidSimulation.cs:107). On TPU there is no
+swapchain, so frames are exported host-side: particles are projected with
+the orbit camera and splatted as depth-sorted colored discs (painter's
+algorithm ~ the reference's transparent, ZWrite-off pass). PNG encoding is
+pure stdlib (zlib), no imaging dependency.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .camera import OrbitCamera
+
+
+def save_png(path: str, rgb: np.ndarray) -> None:
+    """Write an RGB8 image [H, W, 3] as PNG (pure zlib encoder)."""
+    h, w, _ = rgb.shape
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rgb.reshape(h, -1)], axis=1).tobytes()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
+                     sim_scale: float = 5.0, particle_radius: float = 0.01,
+                     camera: OrbitCamera | None = None, width: int = 800,
+                     height: int = 600,
+                     background=(16, 16, 24)) -> np.ndarray:
+    """Render unit-cube positions to an RGB8 image.
+
+    World transform matches UpdateMeshProperties.compute:40
+    (pos·simScale − simScale/2); sprite radius is the projected particle
+    radius; far-to-near painter's order approximates the reference's
+    unsorted alpha blend.
+    """
+    cam = camera or OrbitCamera(distance=8.0, yaw=30.0, pitch=20.0)
+    world = np.asarray(pos_unit, np.float32) * sim_scale - sim_scale / 2.0
+    xy, z = cam.project(world, width, height)
+    rgb8 = (np.clip(np.asarray(colors, np.float32)[:, :3], 0, 1)
+            * 255).astype(np.uint8)
+
+    img = np.empty((height, width, 3), np.uint8)
+    img[:] = np.asarray(background, np.uint8)
+
+    visible = z > 0.05
+    f = (height / 2.0) / np.tan(np.deg2rad(cam.fov_deg) / 2.0)
+    r_px = particle_radius * sim_scale * f / np.maximum(z, 0.05)
+    order = np.argsort(-z)  # far → near
+    order = order[visible[order]]
+
+    xs = np.round(xy[order, 0]).astype(np.int64)
+    ys = np.round(xy[order, 1]).astype(np.int64)
+    rs = np.clip(np.round(r_px[order]).astype(np.int64), 1, 16)
+    cs = rgb8[order]
+
+    # Splat as filled squares bucketed by radius (vectorized per radius).
+    for radius in np.unique(rs):
+        sel = rs == radius
+        x0, y0, c0 = xs[sel], ys[sel], cs[sel]
+        d = np.arange(-radius + 1, radius)
+        dx, dy = np.meshgrid(d, d, indexing="ij")
+        disc = (dx * dx + dy * dy) <= radius * radius
+        dx, dy = dx[disc], dy[disc]
+        px = (x0[:, None] + dx[None, :]).ravel()
+        py = (y0[:, None] + dy[None, :]).ravel()
+        pc = np.repeat(c0, len(dx), axis=0)
+        ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+        img[py[ok], px[ok]] = pc[ok]
+    return img
+
+
+def save_ply(path: str, pos: np.ndarray, colors: np.ndarray | None = None,
+             triangles: np.ndarray | None = None) -> None:
+    """ASCII PLY export of points (with optional colors) or a mesh."""
+    pos = np.asarray(pos, np.float32)
+    lines = ["ply", "format ascii 1.0", f"element vertex {len(pos)}",
+             "property float x", "property float y", "property float z"]
+    if colors is not None:
+        lines += ["property uchar red", "property uchar green",
+                  "property uchar blue"]
+        c8 = (np.clip(np.asarray(colors, np.float32)[:, :3], 0, 1)
+              * 255).astype(np.uint8)
+    if triangles is not None:
+        lines += [f"element face {len(triangles)}",
+                  "property list uchar int vertex_indices"]
+    lines.append("end_header")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        for i, p in enumerate(pos):
+            row = f"{p[0]} {p[1]} {p[2]}"
+            if colors is not None:
+                row += f" {c8[i, 0]} {c8[i, 1]} {c8[i, 2]}"
+            f.write(row + "\n")
+        if triangles is not None:
+            for t in np.asarray(triangles, np.int64):
+                f.write(f"3 {t[0]} {t[1]} {t[2]}\n")

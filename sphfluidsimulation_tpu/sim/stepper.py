@@ -74,7 +74,7 @@ def _dense_capacity(cfg: SimConfig) -> int:
     return max(8, 4 * mean)
 
 
-def make_param_step(cfg: SimConfig, *, neighbor: str = "grid",
+def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
                     faithful: bool = True) -> ParamStepFn:
     """Build the per-frame step ``(state, phys) → (state, metrics)``.
 
@@ -82,14 +82,19 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "grid",
     resolution, voxel capacity, substep count, neighbor backend. All physics
     scalars come from the traced ``phys`` pytree.
 
-    neighbor: 'grid' (voxel-table gather) or 'brute' (O(N²) oracle).
+    neighbor: 'slotted' (slot-row gathers, fast), 'gather' (naive
+              per-candidate gathers), or 'brute' (O(N²) oracle).
     faithful: reuse frame-start bucket + density across all substeps
               (reference semantics); False rebuilds per substep.
     """
     cfg = cfg.validate()
+    if neighbor not in ("slotted", "gather", "brute"):
+        raise ValueError(f"unknown neighbor backend {neighbor!r}")
     r = cfg.bucket_resolution
+    n = cfg.n_particles
     cap = cfg.voxel_capacity
     grid_capacity = cap if cap is not None else _dense_capacity(cfg)
+    ids = jnp.arange(n, dtype=jnp.int32)
 
     def frame_aux(pos, phys):
         """Bucket + density from current positions (frame start)."""
@@ -97,38 +102,54 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "grid",
             bucket, _ = build_bucket(pos, r, cap)
             rho = brute.density_bruteforce(pos, bucket.cell_id,
                                            bucket.in_table, phys, r)
-            return bucket, rho
+            return bucket, None, rho
         bucket, capacity = build_bucket(pos, r, grid_capacity)
+        if neighbor == "slotted":
+            # density needs only positions slotted; rho_slots comes after
+            pre = cellops.SlottedFrame(
+                id_slots=bucket.table.reshape(-1, capacity),
+                ok_slots=bucket.table.reshape(-1, capacity) < n,
+                rho_slots=jnp.zeros((bucket.table.shape[0] // capacity,
+                                     capacity), jnp.float32))
+            (pos_slots,) = cellops.slot_values(pre, n, pos)
+            rho = cellops.density_slotted_rows(pos, bucket.cell, pre,
+                                               pos_slots, phys, r)
+            frame = cellops.slot_frame(bucket.table, rho, n, capacity)
+            return bucket, frame, rho
         rho = cellops.density_grid(pos, bucket, capacity, phys, r)
-        return bucket, rho
+        return bucket, None, rho
 
-    def forces(pos, vel, rho, bucket, phys):
+    def forces(pos, vel, rho, bucket, frame, phys):
         if neighbor == "brute":
             return brute.fluid_forces_bruteforce(pos, vel, rho, bucket.cell_id,
                                                  bucket.in_table, phys, r)
+        if neighbor == "slotted":
+            pos_slots, vel_slots = cellops.slot_values(frame, n, pos, vel)
+            return cellops.fluid_forces_slotted_rows(
+                pos, vel, ids, rho, frame, pos_slots, vel_slots, phys, r)
         return cellops.fluid_forces_grid(pos, vel, rho, bucket,
                                          grid_capacity, phys, r)
 
     def substep(carry, _):
-        pos, vel, nan_hits, bucket, rho, phys = carry
+        pos, vel, nan_hits, bucket, frame, rho, phys = carry
         if not faithful:
-            bucket, rho = frame_aux(pos, phys)
-        f_fluid = forces(pos, vel, rho, bucket, phys)
+            bucket, frame, rho = frame_aux(pos, phys)
+        f_fluid = forces(pos, vel, rho, bucket, frame, phys)
         pos, vel, nan_mask = integrate_substep(pos, vel, f_fluid, phys)
         nan_hits = nan_hits + nan_mask.astype(jnp.int32)
-        return (pos, vel, nan_hits, bucket, rho, phys), None
+        return (pos, vel, nan_hits, bucket, frame, rho, phys), None
 
     def step(state: ParticleState, phys: PhysParams
              ) -> tuple[ParticleState, StepMetrics]:
         pos, vel = state.pos, state.vel
-        bucket, rho = frame_aux(pos, phys)
+        bucket, frame, rho = frame_aux(pos, phys)
         ovf = overflow_count(bucket)
         nan_hits = jnp.zeros(pos.shape[0], jnp.int32)
         # The five substeps ride lax.scan; in faithful mode bucket and rho
         # are loop-invariant carries, matching the reference's reuse of both
         # across substeps (SphFluidSimulation.cs:98-102).
-        (pos, vel, nan_hits, _, _, _), _ = jax.lax.scan(
-            substep, (pos, vel, nan_hits, bucket, rho, phys), None,
+        (pos, vel, nan_hits, _, _, _, _), _ = jax.lax.scan(
+            substep, (pos, vel, nan_hits, bucket, frame, rho, phys), None,
             length=cfg.substeps)
         new_state = ParticleState(pos=pos, vel=vel,
                                   nan_count=state.nan_count + nan_hits)
@@ -138,7 +159,7 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "grid",
     return step
 
 
-def make_frame_step(cfg: SimConfig, *, neighbor: str = "grid",
+def make_frame_step(cfg: SimConfig, *, neighbor: str = "slotted",
                     faithful: bool = True) -> StepFn:
     """Single-scene step with the config's own physics baked as constants."""
     param_step = make_param_step(cfg, neighbor=neighbor, faithful=faithful)
@@ -146,7 +167,7 @@ def make_frame_step(cfg: SimConfig, *, neighbor: str = "grid",
     return lambda state: param_step(state, phys)
 
 
-def make_rollout(cfg: SimConfig, n_frames: int, *, neighbor: str = "grid",
+def make_rollout(cfg: SimConfig, n_frames: int, *, neighbor: str = "slotted",
                  faithful: bool = True, snapshot_every: int = 0):
     """Build a jitted ``state → (state, metrics[, snapshots])`` rollout over
     ``n_frames`` frames via lax.scan (one device dispatch per rollout)."""

@@ -101,3 +101,18 @@ def test_window_uses_fresh_cell_stale_bucket():
     scale = np.maximum(np.abs(np.asarray(f_moved_b)).max(), 1e-12)
     np.testing.assert_allclose(np.asarray(f_moved_g) / scale,
                                np.asarray(f_moved_b) / scale, atol=3e-6)
+
+
+def test_slotted_step_matches_gather_and_brute():
+    # full frame through all three backends (slotted is the default)
+    from sphfluidsimulation_tpu.sim.stepper import initial_state, make_frame_step
+    cfg = SimConfig(particle_number=1024, bucket_resolution=11)
+    st = initial_state(cfg)
+    outs = {}
+    for nb in ("slotted", "gather", "brute"):
+        s, m = jax.jit(make_frame_step(cfg, neighbor=nb))(st)
+        outs[nb] = (np.asarray(s.pos), float(m.mean_density), int(m.overflow))
+    np.testing.assert_allclose(outs["slotted"][0], outs["gather"][0], atol=1e-6)
+    np.testing.assert_allclose(outs["slotted"][0], outs["brute"][0], atol=1e-5)
+    assert outs["slotted"][1] == pytest.approx(outs["gather"][1], rel=1e-6)
+    assert outs["slotted"][2] == outs["gather"][2] == outs["brute"][2]

@@ -70,7 +70,7 @@ def test_brute_and_grid_rollouts_agree():
     # end-to-end: 3 frames through both neighbor backends stay close
     # (they see identical candidate sets; only summation order differs)
     state0 = initial_state(CFG)
-    g = jax.jit(make_frame_step(CFG, neighbor="grid"))
+    g = jax.jit(make_frame_step(CFG, neighbor="slotted"))
     b = jax.jit(make_frame_step(CFG, neighbor="brute"))
     sg, sb = state0, state0
     for _ in range(3):
