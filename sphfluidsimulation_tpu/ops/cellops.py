@@ -134,32 +134,41 @@ def fluid_forces_grid(pos: jax.Array, vel: jax.Array, rho: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Slotted ("tier B") formulation: identical semantics, TPU-friendly access.
+# Slotted ("tier B") formulation: identical results, TPU-friendly access.
 #
 # The naive formulation above random-gathers every candidate's pos/vel/rho
-# per (particle x offset x slot) — 27·C element gathers per particle per
-# pass, the access pattern TPUs are worst at. Here particle values are first
-# scattered into the table's own cell-major slot layout ([R³, C, ...], one
-# row gather of the whole table per field), after which every candidate
-# lookup becomes a *row* gather of C contiguous slots — 27 row gathers per
-# particle per pass with 128-512 B rows, which XLA lowers to efficient
-# strided DMA. Results are bit-identical to the naive formulation (same
-# candidates, same summation order over offsets and slots).
+# per (particle x offset x slot) — and, worse for TPU tiling, the gathered
+# arrays have tiny minor dimensions (3, or C=32) that pad to the 128-lane
+# vector width, wasting up to 42x of every byte moved. Here candidate data
+# is pre-packed into cell-major rows of EXACTLY 128 lanes:
+#
+#     posocc[c]  = [ x·C | y·C | z·C | occ·C ]      (C = 32 slots)
+#     velrho[c]  = [ vx·C | vy·C | vz·C | rho·C ]
+#
+# so each window-cell lookup is ONE perfectly-utilized row gather per array.
+# Two semantic notes, both exactness-preserving:
+#
+# * The reference's j==i skip (VelPos.compute:82) is dropped: the self pair
+#   contributes exactly zero anyway — grad_W_press(0) = 0 via the epsilon
+#   guard (:37) and the viscosity term carries (v_i − v_i) = 0 — so skipping
+#   it is an optimization in HLSL, not semantics.
+# * Empty slots carry occ = 0 and are multiplied out (the reference breaks
+#   at the sentinel, Bucket.compute:33; our build packs occupied slots
+#   first, so the candidate SET is identical).
 # ---------------------------------------------------------------------------
 
 
-class SlottedFrame(NamedTuple):
-    """Per-frame cell-major slot arrays (stale, built once per frame).
-    A pytree, so it rides scan carries / jit boundaries.
+class PackedSlots(NamedTuple):
+    """Per-frame packed slot arrays (pytree).
 
-    id_slots:  i32[R³, C] particle ids (sentinel n)
-    ok_slots:  bool[R³, C] occupied mask (prefix-dense per row by build)
-    rho_slots: f32[R³, C] stale density per slot
+    posocc: f32[R³, 4C] — fresh positions + occupancy flag (rebuilt per
+            substep in faithful mode from fresh positions over the STALE
+            table, matching VelPos reading fresh textures via stale ids).
+    velrho: f32[R³, 4C] — fresh velocities + STALE density.
     """
 
-    id_slots: jax.Array
-    ok_slots: jax.Array
-    rho_slots: jax.Array
+    posocc: jax.Array
+    velrho: jax.Array
 
 
 def _window_cells(cell_rows: jax.Array, off: jax.Array, r: int
@@ -171,44 +180,57 @@ def _window_cells(cell_rows: jax.Array, off: jax.Array, r: int
     return ncid, valid
 
 
-def slot_frame(bucket_table: jax.Array, rho_all: jax.Array, n: int,
-               capacity: int) -> SlottedFrame:
-    """Build the frame's slot arrays from the bucket table + stale density."""
-    id_slots = bucket_table.reshape(-1, capacity)
-    ok_slots = id_slots < n
-    j = jnp.minimum(id_slots, n - 1)
-    rho_slots = jnp.where(ok_slots, rho_all[j], 0.0)
-    return SlottedFrame(id_slots, ok_slots, rho_slots)
+def pack_slots(table: jax.Array, capacity: int, n: int, pos: jax.Array,
+               vel: jax.Array | None, rho: jax.Array | None) -> PackedSlots:
+    """Scatter per-particle values into the 128-lane packed layout."""
+    ids = table.reshape(-1, capacity)
+    occ = (ids < n).astype(jnp.float32)
+    j = jnp.minimum(ids, n - 1)
+    px, py, pz = (pos[..., k][j] * occ for k in range(3))
+    posocc = jnp.concatenate([px, py, pz, occ], axis=-1)
+    if vel is None:
+        velrho = jnp.zeros_like(posocc)
+    else:
+        vx, vy, vz = (vel[..., k][j] * occ for k in range(3))
+        rr = rho[j] * occ
+        velrho = jnp.concatenate([vx, vy, vz, rr], axis=-1)
+    return PackedSlots(posocc=posocc, velrho=velrho)
 
 
-def slot_values(frame: SlottedFrame, n: int, *arrays: jax.Array
-                ) -> list[jax.Array]:
-    """Scatter fresh per-particle values into slot layout ([R³, C, ...])."""
-    j = jnp.minimum(frame.id_slots, n - 1)
-    out = []
-    for a in arrays:
-        v = a[j]
-        mask = frame.ok_slots.reshape(frame.ok_slots.shape + (1,) * (a.ndim - 1))
-        out.append(jnp.where(mask, v, 0.0))
-    return out
+def repack_fresh(slots: PackedSlots, table: jax.Array, capacity: int, n: int,
+                 pos: jax.Array, vel: jax.Array) -> PackedSlots:
+    """Refresh pos/vel lanes for a new substep; keep stale rho lanes."""
+    ids = table.reshape(-1, capacity)
+    occ = (ids < n).astype(jnp.float32)
+    j = jnp.minimum(ids, n - 1)
+    px, py, pz = (pos[..., k][j] * occ for k in range(3))
+    posocc = jnp.concatenate([px, py, pz, occ], axis=-1)
+    vx, vy, vz = (vel[..., k][j] * occ for k in range(3))
+    velrho = jnp.concatenate(
+        [vx, vy, vz, slots.velrho[:, 3 * capacity:]], axis=-1)
+    return PackedSlots(posocc=posocc, velrho=velrho)
 
 
 def density_slotted_rows(pos_rows: jax.Array, cell_rows: jax.Array,
-                         frame: SlottedFrame, pos_slots: jax.Array,
-                         p: PhysParams, bucket_resolution: int) -> jax.Array:
-    """ρ for a row block via slot-row gathers (Density.compute:32-60
+                         slots: PackedSlots, capacity: int, p: PhysParams,
+                         bucket_resolution: int) -> jax.Array:
+    """ρ for a row block via packed-row gathers (Density.compute:32-60
     semantics: self term included, bounds check per window cell)."""
+    c = capacity
     h2, h9 = p.h * p.h, p.h ** 9
     offs = neighborhood_offsets()
 
     def body(rho, off):
         ncid, valid = _window_cells(cell_rows, off, bucket_resolution)
-        cand_pos = jnp.take(pos_slots, ncid, axis=0)       # [rows, C, 3]
-        ok = jnp.take(frame.ok_slots, ncid, axis=0) & valid[:, None]
-        diff = pos_rows[:, None, :] - cand_pos
-        r2 = jnp.sum(diff * diff, axis=-1)
+        row = jnp.take(slots.posocc, ncid, axis=0)          # [rows, 4C]
+        cx, cy, cz, occ = (row[:, k * c:(k + 1) * c] for k in range(4))
+        dx = pos_rows[:, 0:1] - cx
+        dy = pos_rows[:, 1:2] - cy
+        dz = pos_rows[:, 2:3] - cz
+        r2 = dx * dx + dy * dy + dz * dz
         w = sph_math.w_poly6(r2, h2, h9)
-        return rho + jnp.sum(jnp.where(ok, p.mass * w, 0.0), axis=-1), None
+        gate = occ * valid[:, None].astype(jnp.float32)
+        return rho + p.mass * jnp.sum(w * gate, axis=-1), None
 
     rho, _ = jax.lax.scan(body, jnp.zeros(pos_rows.shape[0], jnp.float32),
                           offs)
@@ -216,13 +238,13 @@ def density_slotted_rows(pos_rows: jax.Array, cell_rows: jax.Array,
 
 
 def fluid_forces_slotted_rows(pos_rows: jax.Array, vel_rows: jax.Array,
-                              ids_rows: jax.Array, rho_rows: jax.Array,
-                              frame: SlottedFrame, pos_slots: jax.Array,
-                              vel_slots: jax.Array, p: PhysParams,
+                              rho_rows: jax.Array, slots: PackedSlots,
+                              capacity: int, p: PhysParams,
                               bucket_resolution: int) -> jax.Array:
-    """Pressure + viscosity for a row block via slot-row gathers
+    """Pressure + viscosity for a row block via packed-row gathers
     (VelPos.compute:49-105 semantics: fresh window center, stale table/ρ,
-    j==i skip, ρ guards, final m²/ρ_i scaling)."""
+    ρ guards, final m²/ρ_i scaling; self pair contributes exactly 0)."""
+    c = capacity
     h6 = p.h ** 6
     cell_fresh = sph_math.cell_index(pos_rows, bucket_resolution)
     press_rows = sph_math.eos_pressure(rho_rows, p.gas_constant,
@@ -230,32 +252,41 @@ def fluid_forces_slotted_rows(pos_rows: jax.Array, vel_rows: jax.Array,
     offs = neighborhood_offsets()
 
     def body(carry, off):
-        f_press, f_vis = carry
+        fpx, fpy, fpz, fvx, fvy, fvz = carry
         ncid, valid = _window_cells(cell_fresh, off, bucket_resolution)
-        cand_id = jnp.take(frame.id_slots, ncid, axis=0)    # [rows, C]
-        cand_ok = jnp.take(frame.ok_slots, ncid, axis=0) & valid[:, None]
-        cand_pos = jnp.take(pos_slots, ncid, axis=0)
-        cand_vel = jnp.take(vel_slots, ncid, axis=0)
-        rho_j = jnp.take(frame.rho_slots, ncid, axis=0)
+        prow = jnp.take(slots.posocc, ncid, axis=0)         # [rows, 4C]
+        vrow = jnp.take(slots.velrho, ncid, axis=0)         # [rows, 4C]
+        cx, cy, cz, occ = (prow[:, k * c:(k + 1) * c] for k in range(4))
+        vx, vy, vz, rho_j = (vrow[:, k * c:(k + 1) * c] for k in range(4))
 
-        ok = cand_ok & (cand_id != ids_rows[:, None])       # VelPos:82
-        ok = ok & (rho_j > EPSILON)                         # VelPos:91
+        gate = occ * valid[:, None].astype(jnp.float32)
+        gate = gate * (rho_j > EPSILON).astype(jnp.float32)  # VelPos:91
         safe_rho = jnp.where(rho_j > EPSILON, rho_j, 1.0)
-        diff = pos_rows[:, None, :] - cand_pos
-        gwp = sph_math.grad_w_press(diff, p.h, h6)
-        gwv = sph_math.grad_w_vis(diff, p.h, h6)
-        press_j = sph_math.eos_pressure(rho_j, p.gas_constant, p.rest_density)
-        press_coef = (press_rows[:, None] + press_j) / (2.0 * safe_rho)
-        dfp = jnp.sum(jnp.where(ok[..., None], press_coef[..., None] * gwp,
-                                0.0), 1)
-        dvel = cand_vel - vel_rows[:, None, :]
-        vis_coef = gwv / safe_rho
-        dfv = jnp.sum(jnp.where(ok[..., None], vis_coef[..., None] * dvel,
-                                0.0), 1)
-        return (f_press + dfp, f_vis + dfv), None
 
-    zero = jnp.zeros_like(pos_rows)
-    (f_press, f_vis), _ = jax.lax.scan(body, (zero, zero), offs)
+        dx = pos_rows[:, 0:1] - cx
+        dy = pos_rows[:, 1:2] - cy
+        dz = pos_rows[:, 2:3] - cz
+        abs_r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        gwp = sph_math.grad_w_press_over_r(abs_r, p.h, h6)
+        gwv = sph_math.grad_w_vis_r(abs_r, p.h, h6)
+
+        press_j = sph_math.eos_pressure(rho_j, p.gas_constant, p.rest_density)
+        pc = gate * (press_rows[:, None] + press_j) / (2.0 * safe_rho) * gwp
+        fpx = fpx + jnp.sum(pc * dx, axis=-1)
+        fpy = fpy + jnp.sum(pc * dy, axis=-1)
+        fpz = fpz + jnp.sum(pc * dz, axis=-1)
+
+        vc = gate * gwv / safe_rho
+        fvx = fvx + jnp.sum(vc * (vx - vel_rows[:, 0:1] * occ), axis=-1)
+        fvy = fvy + jnp.sum(vc * (vy - vel_rows[:, 1:2] * occ), axis=-1)
+        fvz = fvz + jnp.sum(vc * (vz - vel_rows[:, 2:3] * occ), axis=-1)
+        return (fpx, fpy, fpz, fvx, fvy, fvz), None
+
+    zeros = jnp.zeros(pos_rows.shape[0], jnp.float32)
+    (fpx, fpy, fpz, fvx, fvy, fvz), _ = jax.lax.scan(
+        body, (zeros,) * 6, offs)
+    f_press = jnp.stack([fpx, fpy, fpz], -1)
+    f_vis = jnp.stack([fvx, fvy, fvz], -1)
 
     i_ok = (rho_rows > EPSILON)[:, None]
     safe_rho_i = jnp.where(rho_rows > EPSILON, rho_rows, 1.0)[:, None]

@@ -105,16 +105,12 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
             return bucket, None, rho
         bucket, capacity = build_bucket(pos, r, grid_capacity)
         if neighbor == "slotted":
-            # density needs only positions slotted; rho_slots comes after
-            pre = cellops.SlottedFrame(
-                id_slots=bucket.table.reshape(-1, capacity),
-                ok_slots=bucket.table.reshape(-1, capacity) < n,
-                rho_slots=jnp.zeros((bucket.table.shape[0] // capacity,
-                                     capacity), jnp.float32))
-            (pos_slots,) = cellops.slot_values(pre, n, pos)
-            rho = cellops.density_slotted_rows(pos, bucket.cell, pre,
-                                               pos_slots, phys, r)
-            frame = cellops.slot_frame(bucket.table, rho, n, capacity)
+            slots = cellops.pack_slots(bucket.table, capacity, n, pos,
+                                       None, None)
+            rho = cellops.density_slotted_rows(pos, bucket.cell, slots,
+                                               capacity, phys, r)
+            frame = cellops.pack_slots(bucket.table, capacity, n, pos,
+                                       jnp.zeros_like(pos), rho)
             return bucket, frame, rho
         rho = cellops.density_grid(pos, bucket, capacity, phys, r)
         return bucket, None, rho
@@ -124,9 +120,10 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
             return brute.fluid_forces_bruteforce(pos, vel, rho, bucket.cell_id,
                                                  bucket.in_table, phys, r)
         if neighbor == "slotted":
-            pos_slots, vel_slots = cellops.slot_values(frame, n, pos, vel)
+            slots = cellops.repack_fresh(frame, bucket.table, grid_capacity,
+                                         n, pos, vel)
             return cellops.fluid_forces_slotted_rows(
-                pos, vel, ids, rho, frame, pos_slots, vel_slots, phys, r)
+                pos, vel, rho, slots, grid_capacity, phys, r)
         return cellops.fluid_forces_grid(pos, vel, rho, bucket,
                                          grid_capacity, phys, r)
 
