@@ -33,7 +33,7 @@ def scaled_config(n_particles: int) -> SimConfig:
 
 
 def run_bench(n_particles: int = 1 << 20, frames: int = 20,
-              warmup_frames: int = 5, neighbor: str = "slotted") -> dict:
+              warmup_frames: int = 5, neighbor: str = "pallas") -> dict:
     cfg = scaled_config(n_particles)
     state = initial_state(cfg)
 

@@ -1,0 +1,533 @@
+"""Fused Pallas SPH kernels over a cell-sorted compact particle array.
+
+The throughput tier (BASELINE config 4). XLA's gather/scatter lowering on
+TPU runs at ~10 GB/s effective (measured; ~80x off HBM peak), so the
+gather-formulated backends top out around 1M particle-substeps/s. This
+module removes gathers from the hot path entirely:
+
+* particles are sorted by stale flat cell id once per frame (the bucket
+  build, Bucket.compute:18-36, reproduced as a deterministic stable sort);
+* the sorted SoA is packed into 128-lane field rows ``[NB, 8, 128]``
+  (fields x, y, z, cid_enc, vx, vy, vz, rho), so every neighbor-window
+  fetch is a contiguous, aligned DMA of whole rows;
+* a Pallas kernel processes row-tiles of 8 sorted particles, DMAs the
+  candidate *lines* (contiguous sorted ranges covering the 27-cell window,
+  Density.compute:42-52 / VelPos.compute:67-81) into VMEM per group of 16
+  row-tiles, and evaluates the pair math on (8, 128) VPU tiles with exact
+  per-lane membership masks.
+
+Exactness: candidates are masked by Chebyshev(cell_j, fresh_cell_i) <= 1
+computed from each lane's actual cell — identical to the reference's
+bounds-checked 27-cell walk. The fetched ranges cover the fresh window as
+long as a particle drifts <= 1 cell per axis within the frame (the force
+pass window is fetched +-2 lines around the *stale* cell); rows that drift
+farther, and window lines longer than the fetched MAXR rows, are counted
+into certificate outputs — when both counters are zero the result is
+exactly the reference candidate set. Sane configs keep them at zero
+(1-cell-per-frame drift needs speeds > h/frame_dt ~ 6.5 u/s in the golden
+scene); exploding configs degrade gracefully and visibly instead of
+silently.
+
+Self-pairs are not skipped: grad_W_press(0) = 0 via the epsilon guard
+(VelPos.compute:37) and the viscosity term carries (v_i - v_i) = 0, so the
+reference's j==i skip (VelPos.compute:82) is an optimization, not
+semantics. Density includes the self term as the reference does
+(Density.compute:50-55 has no skip).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EPSILON
+from ..params import PhysParams
+
+_PI = math.pi
+
+# Layout constants.
+LANES = 128          # particles per field row
+ROWS_PER_TILE = 32   # sorted particles per compute row-tile (4 sublane regs)
+TILES_PER_GROUP = 4  # row-tiles per kernel program (128 particles)
+N_FIELDS = 8         # x, y, z, cid_enc, vx, vy, vz, rho
+MAXR = 4             # DMA'd 128-particle rows per candidate line
+E_X = 2              # x-cell slack on fetched line ranges (force pass)
+N_LINES_FORCE = 25   # (dy, dz) in [-2, 2]^2 — covers 1-cell y/z drift
+N_LINES_DENS = 9     # (dy, dz) in [-1, 1]^2 — frame start, no drift
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+class SortedFrame(NamedTuple):
+    """Per-frame sorted structure (pytree of arrays).
+
+    Two cell ids per particle: ``raw`` is the reference's unchecked flat id
+    x + y·R + z·R² (Bucket.compute:28 — can alias or fall out of range for
+    out-of-cube spawn positions), which defines the candidate cell the
+    reference sees; ``cid`` is the ANCHOR id — the flat id of the clamped
+    3D cell — used only as the sort key so a particle sorts next to the
+    valid cells of its own neighborhood. For in-cube positions (every
+    position after the first clamp) raw == anchor. Aliased candidates are
+    ≥ (R−4) cells from their raw cell, so every kernel contribution of
+    theirs is exactly zero; the single approximation is that bucket slot
+    competition is ranked within anchor runs rather than raw runs, which
+    can differ from the oracle only for aliased frame-0 inserts into cells
+    already at capacity.
+    """
+
+    order: jax.Array      # i32[N] — sort permutation (unsorted -> sorted)
+    cid: jax.Array        # i32[Np] — anchor flat cell id per sorted particle
+    raw: jax.Array        # i32[Np] — reference raw flat id (may be invalid)
+    occ: jax.Array        # bool[Np] — in the reference bucket (rank < cap)
+    start: jax.Array      # i32[R^3 + 1] — cell run starts in sorted order
+    ranges_f: jax.Array   # i32[G+1, 25, 2] — force line (lo128, nchunks)
+    ranges_d: jax.Array   # i32[G+1, 9, 2] — density-pass line ranges
+    ginfo: jax.Array      # i32[G, 1, 8] — stale (ylo, yhi, zlo, zhi) + pad
+    clip_count: jax.Array # i32[] — lines longer than MAXR (certificate)
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def padded_n(n: int) -> int:
+    # group granularity (128 particles) == field-row granularity (128 lanes)
+    return _pad_to(n, TILES_PER_GROUP * ROWS_PER_TILE)
+
+
+def build_frame(pos: jax.Array, r: int, capacity: int,
+                extras: tuple[jax.Array, ...] = ()
+                ) -> tuple[SortedFrame, tuple[jax.Array, ...]]:
+    """Sort by stale cell id and precompute line ranges (XLA, per frame).
+
+    Matches grid.build_bucket semantics: flat id x + y*R + z*R^2
+    (Bucket.compute:28), deterministic tie-break by particle index, silent
+    drop of ranks >= capacity and of out-of-range flat ids.
+
+    ``extras``: per-particle [N] or [N, k] arrays to carry through the sort
+    (e.g. positions/velocities) — sorted as sort *operands* rather than
+    gathered afterward, because XLA's TPU gather is ~80x off memory peak
+    while the sort network moves operands at full bandwidth.
+    """
+    n = pos.shape[0]
+    npad = padded_n(n)
+    n_groups = npad // (TILES_PER_GROUP * ROWS_PER_TILE)
+
+    cell = (pos * (r - 1)).astype(jnp.int32)
+    cid_raw = cell[:, 0] + cell[:, 1] * r + cell[:, 2] * (r * r)
+    in_range = (cid_raw >= 0) & (cid_raw < r * r * r)
+    # anchor = clamped-3D cell: always a valid id, adjacent to the row's
+    # valid window cells even for out-of-cube spawn positions
+    anchor_cell = jnp.clip(cell, 0, r - 1)
+    cid_key = (anchor_cell[:, 0] + anchor_cell[:, 1] * r
+               + anchor_cell[:, 2] * (r * r))
+
+    flat_extras: list[jax.Array] = []
+    extra_specs: list[tuple[int, int]] = []  # (start, ncols) into flat list
+    for e in extras:
+        if e.ndim == 1:
+            extra_specs.append((len(flat_extras), 0))
+            flat_extras.append(e)
+        else:
+            extra_specs.append((len(flat_extras), e.shape[1]))
+            flat_extras.extend(e[:, k] for k in range(e.shape[1]))
+
+    gid = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (cid_key, gid, cid_raw, in_range.astype(jnp.int32), *flat_extras),
+        num_keys=2, is_stable=False)  # (key, gid) pair makes ties unique
+    cid_s, order, raw_s, in_range_s = sorted_ops[:4]
+    sorted_extras: list[jax.Array] = []
+    for s0, ncols in extra_specs:
+        if ncols == 0:
+            sorted_extras.append(sorted_ops[4 + s0])
+        else:
+            sorted_extras.append(jnp.stack(
+                sorted_ops[4 + s0:4 + s0 + ncols], axis=-1))
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.searchsorted(cid_s, cid_s, side="left").astype(jnp.int32)
+    rank = idx - run_start
+    occ = (rank < capacity) & (in_range_s > 0)
+
+    start = jnp.searchsorted(
+        cid_s, jnp.arange(r * r * r + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    # group stale spans (over real particles; padded tail groups clamp)
+    g_first = jnp.minimum(
+        jnp.arange(n_groups, dtype=jnp.int32) * (TILES_PER_GROUP * ROWS_PER_TILE),
+        n - 1)
+    g_last = jnp.minimum(g_first + TILES_PER_GROUP * ROWS_PER_TILE - 1, n - 1)
+    gc_lo = jnp.minimum(cid_s[g_first], r * r * r - 1)
+    gc_hi = jnp.minimum(cid_s[g_last], r * r * r - 1)
+
+    def line_ranges(n_lines: int, span: int, ex: int):
+        k = jnp.arange(n_lines, dtype=jnp.int32)
+        dy = k % span - span // 2
+        dz = k // span - span // 2
+        off = dy * r + dz * (r * r)
+        a_cell = jnp.clip(gc_lo[:, None] + off[None, :] - ex, 0, r * r * r - 1)
+        b_cell = jnp.clip(gc_hi[:, None] + off[None, :] + ex, 0, r * r * r - 1)
+        a = start[a_cell]
+        b = start[b_cell + 1]
+        lo128 = jnp.clip(a // LANES, 0, None)
+        nch_full = -(-(b - lo128 * LANES) // LANES)
+        nch = jnp.clip(nch_full, 0, MAXR)
+        clipped = jnp.sum((nch_full > MAXR).astype(jnp.int32))
+        out = jnp.stack([lo128, nch], axis=-1).astype(jnp.int32)
+        # extra zero row: the double-buffered kernel reads group g+1's
+        # ranges; the last group's prefetch is guarded off but the block
+        # spec still addresses the row
+        out = jnp.pad(out, ((0, 1), (0, 0), (0, 0)))
+        return out, clipped
+
+    ranges_f, clip_f = line_ranges(N_LINES_FORCE, 5, E_X)
+    ranges_d, clip_d = line_ranges(N_LINES_DENS, 3, 1)
+
+    # per-group anchor y/z spans (for the kernel's conservative line gate);
+    # decoded from the sorted anchor ids (no gathers); pad particles take
+    # the last real particle's cells (harmless: the gate is conservative)
+    gp = TILES_PER_GROUP * ROWS_PER_TILE
+    cid_pad = jnp.pad(cid_s, (0, npad - n), mode="edge")
+    cz_s = cid_pad // (r * r)
+    cy_s = (cid_pad - cz_s * (r * r)) // r
+    cy_g = cy_s.reshape(n_groups, gp)
+    cz_g = cz_s.reshape(n_groups, gp)
+    ginfo = jnp.stack(
+        [jnp.min(cy_g, axis=1), jnp.max(cy_g, axis=1),
+         jnp.min(cz_g, axis=1), jnp.max(cz_g, axis=1)]
+        + [jnp.zeros(n_groups, jnp.int32)] * 4, axis=-1)
+    # [G, 1, 8]: TPU SMEM blocks need the last two dims equal to the array's
+    ginfo = ginfo.astype(jnp.int32).reshape(n_groups, 1, 8)
+
+    frame = SortedFrame(order=order, cid=cid_s, raw=raw_s, occ=occ,
+                        start=start, ranges_f=ranges_f, ranges_d=ranges_d,
+                        ginfo=ginfo,
+                        clip_count=(clip_f + clip_d).astype(jnp.int32))
+    return frame, tuple(sorted_extras)
+
+
+def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
+                rho_s: jax.Array, n: int) -> jax.Array:
+    """Sorted SoA -> f32[NB + MAXR, 8, 128] field rows (lane = particle).
+
+    cid_enc is the stale flat cell id for bucketed particles, -1 otherwise
+    (reproducing the capacity drop, Bucket.compute:30-35). Trailing MAXR
+    guard rows keep fixed-size DMAs in-bounds.
+    """
+    npad = padded_n(n)
+    # candidates advertise their RAW cell — what the reference's bucket
+    # walk sees (aliased ids decode to far-away cells and contribute zero)
+    cid_enc = jnp.where(frame.occ, frame.raw, -1).astype(jnp.float32)
+
+    def padf(a, fill):
+        return jnp.pad(a, (0, npad - n), constant_values=fill)
+
+    cols = [padf(pos_s[:, 0], 2.0), padf(pos_s[:, 1], 2.0),
+            padf(pos_s[:, 2], 2.0), padf(cid_enc, -1.0),
+            padf(vel_s[:, 0], 0.0), padf(vel_s[:, 1], 0.0),
+            padf(vel_s[:, 2], 0.0), padf(rho_s, 0.0)]
+    fields = jnp.stack(cols, axis=1)                      # [Np, 8]
+    fields = fields.reshape(npad // LANES, LANES, N_FIELDS)
+    fields = jnp.transpose(fields, (0, 2, 1))             # [NB, 8, 128]
+    guard = jnp.zeros((MAXR, N_FIELDS, LANES), jnp.float32)
+    guard = guard.at[:, 3, :].set(-1.0)
+    return jnp.concatenate([fields, guard], axis=0)
+
+
+def pack_rows(pos_s: jax.Array, vel_s: jax.Array, rho_s: jax.Array,
+              scid: jax.Array, n: int) -> jax.Array:
+    """Sorted SoA -> row-tile layout f32[T, 8, 128].
+
+    Sublane = particle within its row-tile; lanes 0..7 hold the fields
+    (x, y, z, vx, vy, vz, rho, stale_cid); lanes 8+ are zero padding. Pad
+    particles get x=y=z=2 (out of cube -> empty window) and rho=0.
+    """
+    npad = padded_n(n)
+
+    def padf(a, fill):
+        return jnp.pad(a, (0, npad - n), constant_values=fill)
+
+    cols = [padf(pos_s[:, 0], 2.0), padf(pos_s[:, 1], 2.0),
+            padf(pos_s[:, 2], 2.0), padf(vel_s[:, 0], 0.0),
+            padf(vel_s[:, 1], 0.0), padf(vel_s[:, 2], 0.0),
+            padf(rho_s, 0.0), padf(scid.astype(jnp.float32), -1.0)]
+    rows = jnp.stack(cols, axis=1)                        # [Np, 8]
+    rows = rows.reshape(npad // ROWS_PER_TILE, ROWS_PER_TILE, N_FIELDS)
+    return jnp.pad(rows, ((0, 0), (0, 0), (0, LANES - N_FIELDS)))
+
+
+def _decode_cell(cid, r: int):
+    """flat id -> (cx, cy, cz) in f32 (exact for cid < 2^24)."""
+    cz = jnp.floor(cid / (r * r))
+    rem = cid - cz * (r * r)
+    cy = jnp.floor(rem / r)
+    cx = rem - cy * r
+    return cx, cy, cz
+
+
+def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
+                ginfo_ref, ranges_ref, ranges_nxt_ref, rows_ref, scal_ref,
+                fields_ref, out_ref, scratch, sems):
+    """One group: DMA candidate lines, evaluate row-tiles.
+
+    Line buffers are double-buffered ACROSS grid steps: group g computes
+    from slot g%2 while the DMAs for group g+1 stream into the other slot
+    (ranges_ref carries two rows — this group's and the next's).
+    """
+    rf = jnp.float32(r)
+    g = pl.program_id(0)
+    slot = jax.lax.rem(g, 2)
+
+    def _dma(slot_idx, rref, line):
+        lo = rref[0, line, 0]
+        return pltpu.make_async_copy(
+            fields_ref.at[pl.ds(lo, MAXR)],
+            scratch.at[slot_idx, line],
+            sems.at[slot_idx, line])
+
+    # Prologue: the first group fetches its own lines.
+    @pl.when(g == 0)
+    def _():
+        def issue0(line, _):
+            _dma(0, ranges_ref, line).start()
+            return 0
+        jax.lax.fori_loop(0, n_lines, issue0, 0, unroll=False)
+
+    # Prefetch the NEXT group's lines into the other slot (the ranges
+    # array is padded with a zero row so g == G-1 issues a harmless fetch).
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        def issue_next(line, _):
+            _dma(1 - slot, ranges_nxt_ref, line).start()
+            return 0
+        jax.lax.fori_loop(0, n_lines, issue_next, 0, unroll=False)
+
+    # Wait for this group's lines.
+    def wait_cur(line, _):
+        _dma(slot, ranges_ref, line).wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_lines, wait_cur, 0, unroll=False)
+
+    h = scal_ref[0, 0]
+    gas_k = scal_ref[0, 1]
+    rho0 = scal_ref[0, 2]
+    h2 = h * h
+    h6 = h2 * h2 * h2
+    h9 = h6 * h2 * h
+    c_poly6 = jnp.float32(315.0 / (64.0 * _PI))
+    c_grad = jnp.float32(45.0 / _PI)
+
+    ylo_g = ginfo_ref[0, 0, 0]
+    yhi_g = ginfo_ref[0, 0, 1]
+    zlo_g = ginfo_ref[0, 0, 2]
+    zhi_g = ginfo_ref[0, 0, 3]
+
+    for rt in range(TILES_PER_GROUP):
+        rows = rows_ref[rt]                                # (8, 128)
+        rx = rows[:, 0:1]
+        ry = rows[:, 1:2]
+        rz = rows[:, 2:3]
+        # fresh cell, HLSL int-cast truncation semantics (pos >= 0 here
+        # except pad rows, whose cells miss every lane anyway)
+        fx = jnp.floor(rx * (rf - 1.0))
+        fy = jnp.floor(ry * (rf - 1.0))
+        fz = jnp.floor(rz * (rf - 1.0))
+        # stale cell (flat-id decomposition) — the dedup key: a lane counts
+        # in line (dy, dz) only when its cell is exactly (sy+dy, sz+dz),
+        # so overlapping fetched ranges never double-count a candidate.
+        _, sy, sz = _decode_cell(rows[:, 7:8], r)
+
+        fy_min = jnp.min(fy)
+        fy_max = jnp.max(fy)
+        fz_min = jnp.min(fz)
+        fz_max = jnp.max(fz)
+
+        if force:
+            rvx = rows[:, 3:4]
+            rvy = rows[:, 4:5]
+            rvz = rows[:, 5:6]
+            rrho = rows[:, 6:7]
+            press_i = gas_k * (rrho - rho0)
+            acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)
+                   for _ in range(6)]
+        else:
+            acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)]
+
+        def line_body(line, acc):
+            dy = jnp.float32(line % span - span // 2)
+            dz = jnp.float32(line // span - span // 2)
+            nch = ranges_ref[0, line, 1]
+
+            # conservative line gate: can any fetched cell be in any row's
+            # fresh window? (+-1 slack for x-range flat-id wrap)
+            needed = ((fy_max + 1.0 >= ylo_g.astype(jnp.float32) + dy - 1.0)
+                      & (fy_min - 1.0 <= yhi_g.astype(jnp.float32) + dy + 1.0)
+                      & (fz_max + 1.0 >= zlo_g.astype(jnp.float32) + dz - 1.0)
+                      & (fz_min - 1.0 <= zhi_g.astype(jnp.float32) + dz + 1.0))
+
+            def chunk_body(k, acc):
+                blk = scratch[slot, line, k]               # (8, 128) fields
+                cxl, cyl, czl = _decode_cell(blk[3:4, :], r)
+                occ = blk[3:4, :] >= 0.0
+                member = (occ
+                          & (cyl == sy + dy)               # line dedup key
+                          & (czl == sz + dz)
+                          & (jnp.abs(cxl - fx) <= 1.0)     # fresh 27-window
+                          & (jnp.abs(cyl - fy) <= 1.0)
+                          & (jnp.abs(czl - fz) <= 1.0))
+                gate = member.astype(jnp.float32)
+
+                dxv = rx - blk[0:1, :]
+                dyv = ry - blk[1:2, :]
+                dzv = rz - blk[2:3, :]
+                r2 = dxv * dxv + dyv * dyv + dzv * dzv
+
+                if not force:
+                    diff = h2 - r2
+                    w = jnp.where(diff > 0, c_poly6 * diff * diff * diff / h9,
+                                  0.0)
+                    acc[0] = acc[0] + w * gate
+                    return acc
+
+                rho_j = blk[7:8, :]
+                rho_ok = rho_j > EPSILON                  # VelPos.compute:91
+                gate2 = gate * rho_ok.astype(jnp.float32)
+                safe_rho = jnp.where(rho_ok, rho_j, 1.0)
+
+                abs_r = jnp.sqrt(r2)
+                diff_r = h - abs_r
+                valid = (diff_r > EPSILON) & (abs_r > EPSILON)
+                safe_abs = jnp.where(valid, abs_r, 1.0)
+                gwp = jnp.where(
+                    valid,
+                    (c_grad / h6) * diff_r * diff_r * diff_r / safe_abs, 0.0)
+                gwv = jnp.where(abs_r < h, (c_grad / h6) * (h - abs_r), 0.0)
+
+                press_j = gas_k * (rho_j - rho0)
+                pc = gate2 * (press_i + press_j) / (2.0 * safe_rho) * gwp
+                acc[0] = acc[0] + pc * dxv
+                acc[1] = acc[1] + pc * dyv
+                acc[2] = acc[2] + pc * dzv
+                vc = gate2 * gwv / safe_rho
+                acc[3] = acc[3] + vc * (blk[4:5, :] - rvx)
+                acc[4] = acc[4] + vc * (blk[5:6, :] - rvy)
+                acc[5] = acc[5] + vc * (blk[6:7, :] - rvz)
+                return acc
+
+            def run_chunks(acc):
+                return jax.lax.fori_loop(0, nch, chunk_body, acc,
+                                         unroll=False)
+
+            return jax.lax.cond(needed, run_chunks, lambda a: a, acc)
+
+        for line in range(n_lines):       # static unroll
+            acc = line_body(line, acc)
+
+        sums = [jnp.sum(a, axis=1, keepdims=True) for a in acc]   # (8,1) x k
+        outv = jnp.concatenate(
+            sums + [jnp.zeros((ROWS_PER_TILE, LANES - len(sums)),
+                              jnp.float32)], axis=1)
+        out_ref[rt] = outv
+
+
+def _call_kernel(n_lines: int, span: int, force: bool, r: int,
+                 ginfo, ranges, rows, scal, fields):
+    n_groups = ginfo.shape[0]
+    kernel = functools.partial(_sph_kernel, n_lines, span, force, r)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_lines, 2), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            # next group's ranges (for the cross-group DMA prefetch)
+            pl.BlockSpec((1, n_lines, 2), lambda g: (g + 1, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, LANES),
+                         lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, LANES),
+                               lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups * TILES_PER_GROUP, ROWS_PER_TILE, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_lines, MAXR, N_FIELDS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_lines)),
+        ],
+        interpret=_interpret(),
+    )(ginfo, ranges, ranges, rows, scal, fields)
+
+
+def _scal(phys: PhysParams) -> jax.Array:
+    return jnp.stack([phys.h, phys.gas_constant, phys.rest_density,
+                      jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                      jnp.float32(0.0), jnp.float32(0.0)]).reshape(1, 8)
+
+
+def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
+                   r: int, n: int) -> jax.Array:
+    """rho per sorted particle (Density.compute:32-60 semantics)."""
+    zeros3 = jnp.zeros_like(pos_s)
+    zeros1 = jnp.zeros(pos_s.shape[0], jnp.float32)
+    fields = pack_fields(frame, pos_s, zeros3, zeros1, n)
+    rows = pack_rows(pos_s, zeros3, zeros1, frame.cid, n)
+    out = _call_kernel(N_LINES_DENS, 3, False, r, frame.ginfo,
+                       frame.ranges_d, rows, _scal(phys), fields)
+    w_sum = out[:, :, 0].reshape(-1)[:n]
+    return phys.mass * w_sum
+
+
+def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
+                  rho_s: jax.Array, phys: PhysParams, r: int, n: int
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Pressure + viscosity per sorted particle (VelPos.compute:49-105).
+
+    Returns (f_fluid f32[n,3], drift_overflow i32[]) — the second is the
+    exactness certificate: rows whose fresh cell drifted > 1 cell from the
+    stale cell on some axis (their windows may be under-covered).
+    """
+    fields = pack_fields(frame, pos_s, vel_s, rho_s, n)
+    rows = pack_rows(pos_s, vel_s, rho_s, frame.cid, n)
+    out = _call_kernel(N_LINES_FORCE, 5, True, r, frame.ginfo,
+                       frame.ranges_f, rows, _scal(phys), fields)
+    flat = out.reshape(-1, LANES)[:n]
+    f_press = flat[:, 0:3]
+    f_vis = flat[:, 3:6]
+
+    # final m^2/rho_i scaling, guarded (VelPos.compute:101-105)
+    i_ok = (rho_s > EPSILON)[:, None]
+    safe = jnp.where(rho_s > EPSILON, rho_s, 1.0)[:, None]
+    f_press = jnp.where(i_ok, f_press * (phys.mass * phys.mass / safe),
+                        f_press)
+    f_vis = jnp.where(i_ok,
+                      f_vis * (phys.viscosity * phys.mass * phys.mass / safe),
+                      f_vis)
+
+    # certificate: coverage holds when the (clamped) fresh cell is within
+    # 1 of the anchor on every axis — valid window cells of out-of-cube
+    # positions neighbor the CLAMPED cell, so clamp before comparing
+    fresh = jnp.clip((pos_s * (r - 1)).astype(jnp.int32), 0, r - 1)
+    stale_z = frame.cid // (r * r)
+    stale_y = (frame.cid - stale_z * (r * r)) // r
+    stale_x = frame.cid - stale_z * (r * r) - stale_y * r
+    stale = jnp.stack([stale_x, stale_y, stale_z], -1)
+    drift = jnp.max(jnp.abs(fresh - stale), axis=-1)
+    drift_overflow = jnp.sum((drift > 1).astype(jnp.int32))
+    return f_press + f_vis, drift_overflow

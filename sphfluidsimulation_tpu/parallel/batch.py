@@ -39,7 +39,7 @@ def batch_configs(base: SimConfig, overrides: Sequence[dict]) -> list[SimConfig]
     return cfgs
 
 
-def make_batched_step(base: SimConfig, *, neighbor: str = "grid",
+def make_batched_step(base: SimConfig, *, neighbor: str = "slotted",
                       faithful: bool = True):
     """vmapped ``(states, params) → (states, metrics)`` over a scene axis."""
     step = make_param_step(base, neighbor=neighbor, faithful=faithful)
@@ -55,7 +55,7 @@ class BatchedScenes:
     """
 
     def __init__(self, base: SimConfig, overrides: Sequence[dict], *,
-                 neighbor: str = "grid", faithful: bool = True,
+                 neighbor: str = "slotted", faithful: bool = True,
                  mesh: Mesh | None = None, axis: str = "scene"):
         self.configs = batch_configs(base, overrides)
         self.params = stack_params([PhysParams.from_config(c)

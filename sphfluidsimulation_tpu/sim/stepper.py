@@ -88,6 +88,8 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
               (reference semantics); False rebuilds per substep.
     """
     cfg = cfg.validate()
+    if neighbor == "pallas":
+        return _make_pallas_step(cfg, faithful=faithful)
     if neighbor not in ("slotted", "gather", "brute"):
         raise ValueError(f"unknown neighbor backend {neighbor!r}")
     r = cfg.bucket_resolution
@@ -151,6 +153,68 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
         new_state = ParticleState(pos=pos, vel=vel,
                                   nan_count=state.nan_count + nan_hits)
         m = _metrics(new_state, rho, jnp.sum(nan_hits), ovf, phys)
+        return new_state, m
+
+    return step
+
+
+def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
+    """Frame step on the fused Pallas kernels (the throughput tier).
+
+    Pipeline per frame: sort by stale cell (the deterministic bucket build)
+    → permute state into sorted order → Pallas density (once) → 5 × (Pallas
+    forces + wall/gravity/integrate, all in sorted space) → un-permute.
+    Orderings and semantics match the reference pipeline exactly
+    (SphFluidSimulation.cs:96-108); the kernels carry exactness
+    certificates (drift/clip counters) surfaced via StepMetrics.overflow's
+    upper bits — see ops/pallas_sph.py.
+    """
+    from ..ops import pallas_sph
+
+    r = cfg.bucket_resolution
+    n = cfg.n_particles
+    cap = cfg.voxel_capacity if cfg.voxel_capacity is not None else 32
+    if not faithful:
+        raise NotImplementedError(
+            "the pallas backend implements the reference's faithful frame "
+            "semantics only (bucket+density once per frame)")
+
+    def step(state: ParticleState, phys: PhysParams
+             ) -> tuple[ParticleState, StepMetrics]:
+        # pos/vel ride the sort as operands (gather-free permutation)
+        frame, (pos_s, vel_s) = pallas_sph.build_frame(
+            state.pos, r, cap, extras=(state.pos, state.vel))
+        rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n)
+
+        def substep(carry, _):
+            pos_s, vel_s, nan_hits, drift = carry
+            f_fluid, d = pallas_sph.forces_pallas(frame, pos_s, vel_s, rho_s,
+                                                  phys, r, n)
+            pos_s, vel_s, nan_mask = integrate_substep(pos_s, vel_s, f_fluid,
+                                                       phys)
+            return (pos_s, vel_s, nan_hits + nan_mask.astype(jnp.int32),
+                    drift + d), None
+
+        nan0 = jnp.zeros(n, jnp.int32)
+        (pos_s, vel_s, nan_hits, drift), _ = jax.lax.scan(
+            substep, (pos_s, vel_s, nan0, jnp.int32(0)), None,
+            length=cfg.substeps)
+
+        # un-permute back to the caller's particle order
+        pos = jnp.zeros_like(pos_s).at[frame.order].set(pos_s)
+        vel = jnp.zeros_like(vel_s).at[frame.order].set(vel_s)
+        nan_unsorted = jnp.zeros_like(nan_hits).at[frame.order].set(nan_hits)
+
+        new_state = ParticleState(pos=pos, vel=vel,
+                                  nan_count=state.nan_count + nan_unsorted)
+        # matches grid.overflow_count: rank-overflow + out-of-range drops
+        ovf = jnp.sum(~frame.occ).astype(jnp.int32)
+        # certificate counters ride the overflow metric's upper bits:
+        # any nonzero drift/clip marks the frame as not-bitwise-exact
+        cert = jnp.minimum(drift + frame.clip_count, 2047)
+        rho_metric = jnp.zeros(n, jnp.float32).at[frame.order].set(rho_s)
+        m = _metrics(new_state, rho_metric, jnp.sum(nan_hits),
+                     ovf + cert * (1 << 20), phys)
         return new_state, m
 
     return step

@@ -1,0 +1,103 @@
+"""Pallas fused-kernel backend vs the brute-force oracle.
+
+Runs in interpret mode on CPU (ops/pallas_sph._interpret). The calm config
+keeps per-frame cell drift <= 1 so the kernels' exactness certificate
+(drift/clip counters, packed into StepMetrics.overflow >> 20) must stay 0
+and trajectories must track the oracle to float-summation tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphfluidsimulation_tpu.config import SimConfig
+from sphfluidsimulation_tpu.params import PhysParams
+from sphfluidsimulation_tpu.sim.stepper import initial_state, make_frame_step
+
+CALM = SimConfig(particle_number=1024, bucket_resolution=11, preset=0,
+                 gas_constant=20.0, rest_density=1.7, viscosity=0.05,
+                 stiffness_coefficient=1000.0, frame_dt=1 / 240)
+GOLDENISH = SimConfig(particle_number=1024, bucket_resolution=11)
+
+
+def _cert(m):
+    return int(m.overflow) >> 20
+
+
+def _ovf(m):
+    return int(m.overflow) & ((1 << 20) - 1)
+
+
+def test_density_matches_brute_first_frame():
+    st = initial_state(GOLDENISH)
+    _, mp = jax.jit(make_frame_step(GOLDENISH, neighbor="pallas"))(st)
+    _, mb = jax.jit(make_frame_step(GOLDENISH, neighbor="brute"))(st)
+    assert float(mp.mean_density) == pytest.approx(float(mb.mean_density),
+                                                   rel=1e-5)
+    assert _ovf(mp) == int(mb.overflow)
+
+
+def test_calm_rollout_tracks_oracle_with_zero_cert():
+    sp = sb = initial_state(CALM)
+    pstep = jax.jit(make_frame_step(CALM, neighbor="pallas"))
+    bstep = jax.jit(make_frame_step(CALM, neighbor="brute"))
+    for _ in range(5):
+        sp, mp = pstep(sp)
+        sb, mb = bstep(sb)
+    assert _cert(mp) == 0, "exactness certificate must hold on calm configs"
+    np.testing.assert_allclose(np.asarray(sp.pos), np.asarray(sb.pos),
+                               atol=5e-4)
+    assert float(jnp.max(jnp.abs(sp.pos - sb.pos))) < 5e-4
+
+
+def test_forces_match_brute_at_frame_start():
+    from sphfluidsimulation_tpu.models.presets import init_positions
+    from sphfluidsimulation_tpu.ops import brute, pallas_sph
+    from sphfluidsimulation_tpu.ops.grid import build_bucket
+
+    cfg = GOLDENISH
+    r, n = cfg.bucket_resolution, cfg.n_particles
+    phys = PhysParams.from_config(cfg)
+    pos = init_positions(cfg)
+    rng = np.random.default_rng(0)
+    vel = jnp.asarray(rng.normal(0, 0.2, (n, 3)), np.float32)
+
+    bucket, _ = build_bucket(pos, r, 32)
+    rho = brute.density_bruteforce(pos, bucket.cell_id, bucket.in_table,
+                                   phys, r)
+    f_b = brute.fluid_forces_bruteforce(pos, vel, rho, bucket.cell_id,
+                                        bucket.in_table, phys, r)
+
+    frame, (pos_s, vel_s, rho_s) = pallas_sph.build_frame(
+        pos, r, 32, extras=(pos, vel, rho))
+    f_s, drift = pallas_sph.forces_pallas(frame, pos_s, vel_s, rho_s,
+                                          phys, r, n)
+    f_p = jnp.zeros_like(f_s).at[frame.order].set(f_s)
+    scale = np.abs(np.asarray(f_b)).max()
+    np.testing.assert_allclose(np.asarray(f_p) / scale,
+                               np.asarray(f_b) / scale, atol=1e-6)
+
+
+def test_pallas_deterministic():
+    st = initial_state(CALM)
+    step = jax.jit(make_frame_step(CALM, neighbor="pallas"))
+    a, _ = step(st)
+    b, _ = step(st)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_build_frame_semantics():
+    from sphfluidsimulation_tpu.ops import pallas_sph
+    from sphfluidsimulation_tpu.ops.grid import build_bucket
+
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.uniform(0, 1, (512, 3)), np.float32)
+    frame, _ = pallas_sph.build_frame(pos, 9, 4)
+    bucket, _ = build_bucket(pos, 9, 4)
+    # same particles dropped by capacity (in-cube: anchor == raw cells)
+    occ_unsorted = np.zeros(512, bool)
+    occ_unsorted[np.asarray(frame.order)] = np.asarray(frame.occ)
+    np.testing.assert_array_equal(occ_unsorted, np.asarray(bucket.in_table))
+    # sorted ids are nondecreasing
+    assert bool(np.all(np.diff(np.asarray(frame.cid)) >= 0))
