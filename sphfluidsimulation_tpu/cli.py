@@ -136,6 +136,46 @@ def cmd_export(a) -> int:
     return 0
 
 
+def cmd_sweep(a) -> int:
+    """Batched multi-scene sweep (BASELINE config 5): vmapped scenes with
+    varied physics, optional per-scene frame export."""
+    import numpy as np
+
+    from .parallel.batch import BatchedScenes
+    from .render.export import render_frame_png, save_png
+    from .render.meshprops import RenderParams, speed_colors
+
+    cfg = _config_from_args(a)
+    lo, hi = a.vary_rest_density
+    overrides = [
+        {"rest_density": float(v), "seed": i}
+        for i, v in enumerate(
+            np.linspace(lo, hi, a.scenes))
+    ]
+    bs = BatchedScenes(cfg, overrides, neighbor=a.neighbor,
+                       faithful=not a.corrected)
+    for _ in range(a.frames):
+        bs.step()
+    m = bs.last_metrics
+    print(json.dumps({
+        "scenes": a.scenes, "frames": bs.frame,
+        "mean_density": [round(float(x), 4) for x in m.mean_density],
+        "max_speed": [float(x) for x in m.max_speed],
+        "overflow": [int(x) for x in m.overflow],
+    }))
+    if a.export_dir:
+        os.makedirs(a.export_dir, exist_ok=True)
+        rp = RenderParams.from_config(cfg)
+        for i in range(a.scenes):
+            colors = np.asarray(speed_colors(bs.states.vel[i], rp))
+            img = render_frame_png(np.asarray(bs.states.pos[i]), colors,
+                                   sim_scale=cfg.sim_scale,
+                                   particle_radius=cfg.particle_radius)
+            save_png(os.path.join(a.export_dir, f"scene_{i:02d}.png"), img)
+        print(f"frames → {a.export_dir}")
+    return 0
+
+
 def cmd_bench(a) -> int:
     from .bench import run_bench
     result = run_bench(n_particles=a.particles, frames=a.frames,
@@ -168,6 +208,15 @@ def main(argv=None) -> int:
     p.add_argument("--png", type=str, default=None)
     p.add_argument("--ply", type=str, default=None)
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("sweep", help="batched multi-scene parameter sweep")
+    _add_config_flags(p)
+    p.add_argument("--scenes", type=int, default=8)
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--vary-rest-density", type=float, nargs=2,
+                   default=(1.0, 2.0))
+    p.add_argument("--export-dir", type=str, default=None)
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("bench", help="measure throughput")
     p.add_argument("--particles", type=int, default=1048576)

@@ -81,6 +81,10 @@ class SimConfig:
     substep_divisor: float = 25.0
 
     # -- Framework knobs (no reference equivalent) --
+    # XSPH advection smoothing epsilon and Monaghan artificial-viscosity
+    # alpha (BASELINE config 3); 0.0 disables (reference-faithful path).
+    xsph: float = 0.0
+    artificial_viscosity: float = 0.0
     # Voxel slot capacity; None disables the reference's silent 32-cap drop.
     voxel_capacity: int | None = REFERENCE_VOXEL_CAPACITY
     # Noise seed offset (the reference noise is a pure function of position

@@ -37,10 +37,13 @@ ParamStepFn = Callable[[ParticleState, PhysParams],
 
 
 def integrate_substep(pos: jax.Array, vel: jax.Array, f_fluid: jax.Array,
-                      p: PhysParams) -> tuple[jax.Array, jax.Array, jax.Array]:
+                      p: PhysParams, xsph_dv: jax.Array | None = None
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Wall penalty + gravity + NaN guard + semi-implicit Euler + clamp.
 
-    Transcribes VelPos.compute:107-157. Returns (pos', vel', nan_mask).
+    Transcribes VelPos.compute:107-157. ``xsph_dv`` (optional) is the XSPH
+    advection-velocity correction, applied to the position update only.
+    Returns (pos', vel', nan_mask).
     """
     f_wall = sph_math.wall_force(pos, vel, p.h, p.stiffness, p.damping, p.mass)
     gravity = jnp.stack([jnp.zeros_like(p.gravity_y), p.gravity_y,
@@ -51,7 +54,8 @@ def integrate_substep(pos: jax.Array, vel: jax.Array, f_fluid: jax.Array,
     # velocity of any particle whose acceleration went NaN.
     nan_mask = jnp.any(jnp.isnan(a), axis=-1)
     vel_new = jnp.where(nan_mask[..., None], 0.0, vel + a * p.dt)
-    pos_new = jnp.clip(pos + p.dt * vel_new, 0.0, 1.0)  # VelPos.compute:153-154
+    adv = vel_new if xsph_dv is None else vel_new + xsph_dv
+    pos_new = jnp.clip(pos + p.dt * adv, 0.0, 1.0)  # VelPos.compute:153-154
     return pos_new, vel_new, nan_mask
 
 
@@ -65,6 +69,13 @@ def _metrics(state: ParticleState, rho: jax.Array, nan_events: jax.Array,
         nan_events=nan_events,
         overflow=overflow,
     )
+
+
+def _brute_pair_mask(pos, bucket, r: int):
+    """[N, N] candidate mask for the all-pairs extension oracles (same
+    window semantics as the force pass: fresh cell center, stale bucket)."""
+    cell_i = sph_math.cell_index(pos, r)
+    return brute._window_mask(cell_i, bucket.cell_id, bucket.in_table, r)
 
 
 def _dense_capacity(cfg: SimConfig) -> int:
@@ -117,24 +128,52 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
         rho = cellops.density_grid(pos, bucket, capacity, phys, r)
         return bucket, None, rho
 
+    use_xsph = cfg.xsph != 0.0
+    use_avisc = cfg.artificial_viscosity != 0.0
+    if (use_xsph or use_avisc) and neighbor not in ("slotted", "brute"):
+        raise NotImplementedError(
+            "xsph/artificial viscosity are implemented for the 'slotted' "
+            "and 'brute' backends")
+
     def forces(pos, vel, rho, bucket, frame, phys):
         if neighbor == "brute":
-            return brute.fluid_forces_bruteforce(pos, vel, rho, bucket.cell_id,
-                                                 bucket.in_table, phys, r)
+            from ..ops import extensions
+            pair_mask = (_brute_pair_mask(pos, bucket, r)
+                         if (use_xsph or use_avisc) else None)
+            f = brute.fluid_forces_bruteforce(pos, vel, rho, bucket.cell_id,
+                                              bucket.in_table, phys, r)
+            if use_avisc:
+                f = f + extensions.artificial_viscosity_bruteforce(
+                    pos, vel, rho, pair_mask, phys,
+                    cfg.artificial_viscosity)
+            dv = (extensions.xsph_bruteforce(pos, vel, rho, pair_mask, phys,
+                                             cfg.xsph)
+                  if use_xsph else None)
+            return f, dv
         if neighbor == "slotted":
+            from ..ops import extensions
             slots = cellops.repack_fresh(frame, bucket.table, grid_capacity,
                                          n, pos, vel)
-            return cellops.fluid_forces_slotted_rows(
+            f = cellops.fluid_forces_slotted_rows(
                 pos, vel, rho, slots, grid_capacity, phys, r)
+            if use_avisc:
+                f = f + extensions.artificial_viscosity_slotted(
+                    pos, vel, rho, slots, grid_capacity, phys, r,
+                    cfg.artificial_viscosity)
+            dv = (extensions.xsph_slotted(pos, vel, rho, slots,
+                                          grid_capacity, phys, r, cfg.xsph)
+                  if use_xsph else None)
+            return f, dv
         return cellops.fluid_forces_grid(pos, vel, rho, bucket,
-                                         grid_capacity, phys, r)
+                                         grid_capacity, phys, r), None
 
     def substep(carry, _):
         pos, vel, nan_hits, bucket, frame, rho, phys = carry
         if not faithful:
             bucket, frame, rho = frame_aux(pos, phys)
-        f_fluid = forces(pos, vel, rho, bucket, frame, phys)
-        pos, vel, nan_mask = integrate_substep(pos, vel, f_fluid, phys)
+        f_fluid, xsph_dv = forces(pos, vel, rho, bucket, frame, phys)
+        pos, vel, nan_mask = integrate_substep(pos, vel, f_fluid, phys,
+                                               xsph_dv)
         nan_hits = nan_hits + nan_mask.astype(jnp.int32)
         return (pos, vel, nan_hits, bucket, frame, rho, phys), None
 
