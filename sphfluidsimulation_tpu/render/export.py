@@ -60,6 +60,13 @@ def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
     visible = z > 0.05
     f = (height / 2.0) / np.tan(np.deg2rad(cam.fov_deg) / 2.0)
     r_px = particle_radius * sim_scale * f / np.maximum(z, 0.05)
+
+    # native rasterizer (sphfluidsimulation_tpu/native) when available —
+    # the numpy path below is the behavioral reference and fallback
+    from ..native.build import splat_points_native
+    if splat_points_native(xy, z, r_px, rgb8, img) is not None:
+        return img
+
     order = np.argsort(-z)  # far → near
     order = order[visible[order]]
 
@@ -85,9 +92,22 @@ def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
 
 
 def save_ply(path: str, pos: np.ndarray, colors: np.ndarray | None = None,
-             triangles: np.ndarray | None = None) -> None:
-    """ASCII PLY export of points (with optional colors) or a mesh."""
+             triangles: np.ndarray | None = None, *,
+             binary: bool = False) -> None:
+    """PLY export of points (with optional colors) or a mesh.
+
+    ``binary=True`` uses the native C++ writer (point clouds only) and
+    falls back to ASCII when the native library is unavailable.
+    """
     pos = np.asarray(pos, np.float32)
+    if binary and triangles is None:
+        from ..native.build import write_ply_native
+        c8 = None
+        if colors is not None:
+            c8 = (np.clip(np.asarray(colors, np.float32)[:, :3], 0, 1)
+                  * 255).astype(np.uint8)
+        if write_ply_native(path, pos, c8):
+            return
     lines = ["ply", "format ascii 1.0", f"element vertex {len(pos)}",
              "property float x", "property float y", "property float z"]
     if colors is not None:
