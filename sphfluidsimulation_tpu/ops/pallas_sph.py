@@ -54,9 +54,9 @@ _PI = math.pi
 # Layout constants.
 LANES = 128          # particles per field row
 ROWS_PER_TILE = 32   # sorted particles per compute row-tile (4 sublane regs)
-TILES_PER_GROUP = 4  # row-tiles per kernel program (128 particles)
+TILES_PER_GROUP = 8  # row-tiles per kernel program (256 particles)
 N_FIELDS = 8         # x, y, z, cid_enc, vx, vy, vz, rho
-MAXR = 4             # DMA'd 128-particle rows per candidate line
+MAXR = 6             # DMA'd 128-particle rows per candidate line
 E_X = 2              # x-cell slack on fetched line ranges (force pass)
 N_LINES_FORCE = 25   # (dy, dz) in [-2, 2]^2 — covers 1-cell y/z drift
 N_LINES_DENS = 9     # (dy, dz) in [-1, 1]^2 — frame start, no drift
@@ -90,7 +90,8 @@ class SortedFrame(NamedTuple):
     start: jax.Array      # i32[R^3 + 1] — cell run starts in sorted order
     ranges_f: jax.Array   # i32[G+1, 25, 2] — force line (lo128, nchunks)
     ranges_d: jax.Array   # i32[G+1, 9, 2] — density-pass line ranges
-    ginfo: jax.Array      # i32[G, 1, 8] — stale (ylo, yhi, zlo, zhi) + pad
+    tiles_f: jax.Array    # i32[T, 25, 2] — per-row-tile chunk bounds (force)
+    tiles_d: jax.Array    # i32[T, 9, 2] — per-row-tile chunk bounds (density)
     clip_count: jax.Array # i32[] — lines longer than MAXR (certificate)
 
 
@@ -154,7 +155,10 @@ def build_frame(pos: jax.Array, r: int, capacity: int,
                 sorted_ops[4 + s0:4 + s0 + ncols], axis=-1))
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    run_start = jnp.searchsorted(cid_s, cid_s, side="left").astype(jnp.int32)
+    # rank within each equal-cid run via a cumulative-max scan (associative,
+    # bandwidth-speed) instead of a searchsorted self-join
+    new_run = jnp.concatenate([jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(new_run, idx, 0))
     rank = idx - run_start
     occ = (rank < capacity) & (in_range_s > 0)
 
@@ -169,6 +173,16 @@ def build_frame(pos: jax.Array, r: int, capacity: int,
     g_last = jnp.minimum(g_first + TILES_PER_GROUP * ROWS_PER_TILE - 1, n - 1)
     gc_lo = jnp.minimum(cid_s[g_first], r * r * r - 1)
     gc_hi = jnp.minimum(cid_s[g_last], r * r * r - 1)
+
+    # tile stale cid spans (one row-tile = ROWS_PER_TILE sorted particles)
+    n_tiles = npad // ROWS_PER_TILE
+    t_first = jnp.minimum(
+        jnp.arange(n_tiles, dtype=jnp.int32) * ROWS_PER_TILE, n - 1)
+    t_last = jnp.minimum(t_first + ROWS_PER_TILE - 1, n - 1)
+    tc_lo = jnp.minimum(cid_s[t_first], r * r * r - 1)
+    tc_hi = jnp.minimum(cid_s[t_last], r * r * r - 1)
+    tile_is_pad = (jnp.arange(n_tiles, dtype=jnp.int32)
+                   * ROWS_PER_TILE) >= n
 
     def line_ranges(n_lines: int, span: int, ex: int):
         k = jnp.arange(n_lines, dtype=jnp.int32)
@@ -188,30 +202,31 @@ def build_frame(pos: jax.Array, r: int, capacity: int,
         # ranges; the last group's prefetch is guarded off but the block
         # spec still addresses the row
         out = jnp.pad(out, ((0, 1), (0, 0), (0, 0)))
-        return out, clipped
 
-    ranges_f, clip_f = line_ranges(N_LINES_FORCE, 5, E_X)
-    ranges_d, clip_d = line_ranges(N_LINES_DENS, 3, 1)
+        # per-TILE chunk bounds within the group's fetched buffer — the
+        # kernel's compute loop runs exactly [k0, k1) chunks per row-tile,
+        # which both gates irrelevant lines (empty range) and skips chunks
+        # outside the tile's own window
+        ta_cell = jnp.clip(tc_lo[:, None] + off[None, :] - ex, 0,
+                           r * r * r - 1)
+        tb_cell = jnp.clip(tc_hi[:, None] + off[None, :] + ex, 0,
+                           r * r * r - 1)
+        ta = start[ta_cell]
+        tb = start[tb_cell + 1]
+        lo128_t = jnp.repeat(lo128, TILES_PER_GROUP, axis=0)
+        nch_t = jnp.repeat(nch, TILES_PER_GROUP, axis=0)
+        k0 = jnp.clip(ta // LANES - lo128_t, 0, nch_t)
+        k1 = jnp.clip(-(-tb // LANES) - lo128_t, k0, nch_t)
+        k1 = jnp.where(tile_is_pad[:, None], k0, k1)
+        tiles = jnp.stack([k0, k1], axis=-1).astype(jnp.int32)
+        return out, tiles, clipped
 
-    # per-group anchor y/z spans (for the kernel's conservative line gate);
-    # decoded from the sorted anchor ids (no gathers); pad particles take
-    # the last real particle's cells (harmless: the gate is conservative)
-    gp = TILES_PER_GROUP * ROWS_PER_TILE
-    cid_pad = jnp.pad(cid_s, (0, npad - n), mode="edge")
-    cz_s = cid_pad // (r * r)
-    cy_s = (cid_pad - cz_s * (r * r)) // r
-    cy_g = cy_s.reshape(n_groups, gp)
-    cz_g = cz_s.reshape(n_groups, gp)
-    ginfo = jnp.stack(
-        [jnp.min(cy_g, axis=1), jnp.max(cy_g, axis=1),
-         jnp.min(cz_g, axis=1), jnp.max(cz_g, axis=1)]
-        + [jnp.zeros(n_groups, jnp.int32)] * 4, axis=-1)
-    # [G, 1, 8]: TPU SMEM blocks need the last two dims equal to the array's
-    ginfo = ginfo.astype(jnp.int32).reshape(n_groups, 1, 8)
+    ranges_f, tiles_f, clip_f = line_ranges(N_LINES_FORCE, 5, E_X)
+    ranges_d, tiles_d, clip_d = line_ranges(N_LINES_DENS, 3, 1)
 
     frame = SortedFrame(order=order, cid=cid_s, raw=raw_s, occ=occ,
                         start=start, ranges_f=ranges_f, ranges_d=ranges_d,
-                        ginfo=ginfo,
+                        tiles_f=tiles_f, tiles_d=tiles_d,
                         clip_count=(clip_f + clip_d).astype(jnp.int32))
     return frame, tuple(sorted_extras)
 
@@ -276,7 +291,7 @@ def _decode_cell(cid, r: int):
 
 
 def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
-                ginfo_ref, ranges_ref, ranges_nxt_ref, rows_ref, scal_ref,
+                ranges_ref, ranges_nxt_ref, tiles_ref, rows_ref, scal_ref,
                 fields_ref, out_ref, scratch, sems):
     """One group: DMA candidate lines, evaluate row-tiles.
 
@@ -328,11 +343,6 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
     c_poly6 = jnp.float32(315.0 / (64.0 * _PI))
     c_grad = jnp.float32(45.0 / _PI)
 
-    ylo_g = ginfo_ref[0, 0, 0]
-    yhi_g = ginfo_ref[0, 0, 1]
-    zlo_g = ginfo_ref[0, 0, 2]
-    zhi_g = ginfo_ref[0, 0, 3]
-
     for rt in range(TILES_PER_GROUP):
         rows = rows_ref[rt]                                # (8, 128)
         rx = rows[:, 0:1]
@@ -348,11 +358,6 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
         # so overlapping fetched ranges never double-count a candidate.
         _, sy, sz = _decode_cell(rows[:, 7:8], r)
 
-        fy_min = jnp.min(fy)
-        fy_max = jnp.max(fy)
-        fz_min = jnp.min(fz)
-        fz_max = jnp.max(fz)
-
         if force:
             rvx = rows[:, 3:4]
             rvy = rows[:, 4:5]
@@ -365,16 +370,12 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
             acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)]
 
         def line_body(line, acc):
-            dy = jnp.float32(line % span - span // 2)
-            dz = jnp.float32(line // span - span // 2)
-            nch = ranges_ref[0, line, 1]
-
-            # conservative line gate: can any fetched cell be in any row's
-            # fresh window? (+-1 slack for x-range flat-id wrap)
-            needed = ((fy_max + 1.0 >= ylo_g.astype(jnp.float32) + dy - 1.0)
-                      & (fy_min - 1.0 <= yhi_g.astype(jnp.float32) + dy + 1.0)
-                      & (fz_max + 1.0 >= zlo_g.astype(jnp.float32) + dz - 1.0)
-                      & (fz_min - 1.0 <= zhi_g.astype(jnp.float32) + dz + 1.0))
+            dy = (jax.lax.rem(line, span) - span // 2).astype(jnp.float32)
+            dz = (jax.lax.div(line, span) - span // 2).astype(jnp.float32)
+            # per-row-tile chunk bounds: gates irrelevant lines (empty) and
+            # skips chunks outside this tile's own window
+            k0 = tiles_ref[rt, line, 0]
+            k1 = tiles_ref[rt, line, 1]
 
             def chunk_body(k, acc):
                 blk = scratch[slot, line, k]               # (8, 128) fields
@@ -425,14 +426,9 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
                 acc[5] = acc[5] + vc * (blk[6:7, :] - rvz)
                 return acc
 
-            def run_chunks(acc):
-                return jax.lax.fori_loop(0, nch, chunk_body, acc,
-                                         unroll=False)
+            return jax.lax.fori_loop(k0, k1, chunk_body, acc, unroll=False)
 
-            return jax.lax.cond(needed, run_chunks, lambda a: a, acc)
-
-        for line in range(n_lines):       # static unroll
-            acc = line_body(line, acc)
+        acc = jax.lax.fori_loop(0, n_lines, line_body, acc, unroll=False)
 
         sums = [jnp.sum(a, axis=1, keepdims=True) for a in acc]   # (8,1) x k
         outv = jnp.concatenate(
@@ -442,19 +438,19 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
 
 
 def _call_kernel(n_lines: int, span: int, force: bool, r: int,
-                 ginfo, ranges, rows, scal, fields):
-    n_groups = ginfo.shape[0]
+                 ranges, tiles, rows, scal, fields):
+    n_groups = ranges.shape[0] - 1
     kernel = functools.partial(_sph_kernel, n_lines, span, force, r)
     return pl.pallas_call(
         kernel,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, 1, 8), lambda g: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_lines, 2), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
             # next group's ranges (for the cross-group DMA prefetch)
             pl.BlockSpec((1, n_lines, 2), lambda g: (g + 1, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILES_PER_GROUP, n_lines, 2), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, LANES),
                          lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
@@ -472,7 +468,7 @@ def _call_kernel(n_lines: int, span: int, force: bool, r: int,
             pltpu.SemaphoreType.DMA((2, n_lines)),
         ],
         interpret=_interpret(),
-    )(ginfo, ranges, ranges, rows, scal, fields)
+    )(ranges, ranges, tiles, rows, scal, fields)
 
 
 def _scal(phys: PhysParams) -> jax.Array:
@@ -488,8 +484,8 @@ def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
     zeros1 = jnp.zeros(pos_s.shape[0], jnp.float32)
     fields = pack_fields(frame, pos_s, zeros3, zeros1, n)
     rows = pack_rows(pos_s, zeros3, zeros1, frame.cid, n)
-    out = _call_kernel(N_LINES_DENS, 3, False, r, frame.ginfo,
-                       frame.ranges_d, rows, _scal(phys), fields)
+    out = _call_kernel(N_LINES_DENS, 3, False, r, frame.ranges_d,
+                       frame.tiles_d, rows, _scal(phys), fields)
     w_sum = out[:, :, 0].reshape(-1)[:n]
     return phys.mass * w_sum
 
@@ -505,8 +501,8 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     """
     fields = pack_fields(frame, pos_s, vel_s, rho_s, n)
     rows = pack_rows(pos_s, vel_s, rho_s, frame.cid, n)
-    out = _call_kernel(N_LINES_FORCE, 5, True, r, frame.ginfo,
-                       frame.ranges_f, rows, _scal(phys), fields)
+    out = _call_kernel(N_LINES_FORCE, 5, True, r, frame.ranges_f,
+                       frame.tiles_f, rows, _scal(phys), fields)
     flat = out.reshape(-1, LANES)[:n]
     f_press = flat[:, 0:3]
     f_vis = flat[:, 3:6]
