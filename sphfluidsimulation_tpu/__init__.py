@@ -10,13 +10,16 @@ SURVEY.md for the structural map of the reference). Public API:
 """
 
 from .config import GOLDEN_CONFIG, TINY_CONFIG, SimConfig  # noqa: F401
+from .params import PhysParams, stack_params  # noqa: F401
 from .state import FrameAux, ParticleState, StepMetrics, make_state  # noqa: F401
 from .models.scene import Scene  # noqa: F401
 from .sim.stepper import (  # noqa: F401
     initial_state,
     integrate_substep,
     make_frame_step,
+    make_param_step,
     make_rollout,
 )
+from . import parallel, render, utils  # noqa: F401
 
 __version__ = "0.1.0"

@@ -24,10 +24,18 @@ _FORMAT_VERSION = 1
 
 def save_checkpoint(path: str, state: ParticleState, cfg: SimConfig, *,
                     frame: int = 0, extra: dict | None = None) -> None:
-    """Write state + config (+ metadata) to ``path`` (.npz)."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    """Write state + config (+ metadata) to ``path``.
+
+    A ``.npz`` path uses the zero-dependency writer; a directory-style path
+    (no extension) uses orbax when available (async-capable, sharded-array
+    aware — the right tool for multi-chip states).
+    """
     meta = {"format_version": _FORMAT_VERSION, "frame": int(frame),
             "config": cfg.as_dict(), "extra": extra or {}}
+    if not path.endswith(".npz"):
+        _save_orbax(path, state, meta)
+        return
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(
         path,
         pos=np.asarray(jax.device_get(state.pos)),
@@ -37,8 +45,37 @@ def save_checkpoint(path: str, state: ParticleState, cfg: SimConfig, *,
     )
 
 
+def _save_orbax(path: str, state: ParticleState, meta: dict) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path),
+                   {"state": state._asdict(),
+                    "meta_json": np.frombuffer(json.dumps(meta).encode(),
+                                               dtype=np.uint8)},
+                   force=True)
+
+
+def _load_orbax(path: str) -> tuple[ParticleState, SimConfig, dict]:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    meta = json.loads(bytes(np.asarray(tree["meta_json"]).tobytes()).decode())
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version in {path}")
+    cfg = SimConfig.from_dict(meta["config"])
+    s = tree["state"]
+    state = ParticleState(pos=jax.numpy.asarray(s["pos"]),
+                          vel=jax.numpy.asarray(s["vel"]),
+                          nan_count=jax.numpy.asarray(s["nan_count"]))
+    return state, cfg, meta
+
+
 def load_checkpoint(path: str) -> tuple[ParticleState, SimConfig, dict]:
     """Read (state, config, meta) from ``path``; validates shape vs config."""
+    if not path.endswith(".npz"):
+        return _load_orbax(path)
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
         if meta.get("format_version") != _FORMAT_VERSION:
