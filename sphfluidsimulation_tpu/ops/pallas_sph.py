@@ -90,8 +90,10 @@ class SortedFrame(NamedTuple):
     start: jax.Array      # i32[R^3 + 1] — cell run starts in sorted order
     ranges_f: jax.Array   # i32[G+1, 25, 2] — force line (lo128, nchunks)
     ranges_d: jax.Array   # i32[G+1, 9, 2] — density-pass line ranges
-    tiles_f: jax.Array    # i32[T, 25, 2] — per-row-tile chunk bounds (force)
-    tiles_d: jax.Array    # i32[T, 9, 2] — per-row-tile chunk bounds (density)
+    tiles_f: jax.Array    # i32[T, 25, 3] — compacted (line, k0, k1) (force)
+    tiles_d: jax.Array    # i32[T, 9, 3] — compacted (line, k0, k1) (density)
+    counts_f: jax.Array   # i32[T, 1] — nonempty lines per row-tile (force)
+    counts_d: jax.Array   # i32[T, 1] — nonempty lines per row-tile (density)
     clip_count: jax.Array # i32[] — lines longer than MAXR (certificate)
 
 
@@ -218,15 +220,25 @@ def build_frame(pos: jax.Array, r: int, capacity: int,
         k0 = jnp.clip(ta // LANES - lo128_t, 0, nch_t)
         k1 = jnp.clip(-(-tb // LANES) - lo128_t, k0, nch_t)
         k1 = jnp.where(tile_is_pad[:, None], k0, k1)
-        tiles = jnp.stack([k0, k1], axis=-1).astype(jnp.int32)
-        return out, tiles, clipped
+        # compact nonempty lines to the front so the kernel's line loop
+        # runs exactly tile_counts[t] iterations instead of n_lines
+        empty = (k1 <= k0).astype(jnp.int32)
+        line_idx = jnp.broadcast_to(
+            jnp.arange(n_lines, dtype=jnp.int32)[None, :], k0.shape)
+        _, line_c, k0_c, k1_c = jax.lax.sort(
+            (empty, line_idx, k0, k1), num_keys=1, is_stable=True,
+            dimension=1)
+        counts = jnp.sum(1 - empty, axis=1).astype(jnp.int32)[:, None]
+        tiles = jnp.stack([line_c, k0_c, k1_c], axis=-1).astype(jnp.int32)
+        return out, tiles, counts, clipped
 
-    ranges_f, tiles_f, clip_f = line_ranges(N_LINES_FORCE, 5, E_X)
-    ranges_d, tiles_d, clip_d = line_ranges(N_LINES_DENS, 3, 1)
+    ranges_f, tiles_f, counts_f, clip_f = line_ranges(N_LINES_FORCE, 5, E_X)
+    ranges_d, tiles_d, counts_d, clip_d = line_ranges(N_LINES_DENS, 3, 1)
 
     frame = SortedFrame(order=order, cid=cid_s, raw=raw_s, occ=occ,
                         start=start, ranges_f=ranges_f, ranges_d=ranges_d,
                         tiles_f=tiles_f, tiles_d=tiles_d,
+                        counts_f=counts_f, counts_d=counts_d,
                         clip_count=(clip_f + clip_d).astype(jnp.int32))
     return frame, tuple(sorted_extras)
 
@@ -291,8 +303,8 @@ def _decode_cell(cid, r: int):
 
 
 def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
-                ranges_ref, ranges_nxt_ref, tiles_ref, rows_ref, scal_ref,
-                fields_ref, out_ref, scratch, sems):
+                ranges_ref, ranges_nxt_ref, tiles_ref, counts_ref, rows_ref,
+                scal_ref, fields_ref, out_ref, scratch, sems):
     """One group: DMA candidate lines, evaluate row-tiles.
 
     Line buffers are double-buffered ACROSS grid steps: group g computes
@@ -369,13 +381,14 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
         else:
             acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)]
 
-        def line_body(line, acc):
+        def line_body(i, acc):
+            # compacted per-row-tile line list: (line, k0, k1) triples with
+            # only the tile's own chunks, nonempty entries first
+            line = tiles_ref[rt, i, 0]
+            k0 = tiles_ref[rt, i, 1]
+            k1 = tiles_ref[rt, i, 2]
             dy = (jax.lax.rem(line, span) - span // 2).astype(jnp.float32)
             dz = (jax.lax.div(line, span) - span // 2).astype(jnp.float32)
-            # per-row-tile chunk bounds: gates irrelevant lines (empty) and
-            # skips chunks outside this tile's own window
-            k0 = tiles_ref[rt, line, 0]
-            k1 = tiles_ref[rt, line, 1]
 
             def chunk_body(k, acc):
                 blk = scratch[slot, line, k]               # (8, 128) fields
@@ -428,7 +441,8 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
 
             return jax.lax.fori_loop(k0, k1, chunk_body, acc, unroll=False)
 
-        acc = jax.lax.fori_loop(0, n_lines, line_body, acc, unroll=False)
+        acc = jax.lax.fori_loop(0, counts_ref[rt, 0], line_body, acc,
+                                unroll=False)
 
         sums = [jnp.sum(a, axis=1, keepdims=True) for a in acc]   # (8,1) x k
         outv = jnp.concatenate(
@@ -438,7 +452,7 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
 
 
 def _call_kernel(n_lines: int, span: int, force: bool, r: int,
-                 ranges, tiles, rows, scal, fields):
+                 ranges, tiles, counts, rows, scal, fields):
     n_groups = ranges.shape[0] - 1
     kernel = functools.partial(_sph_kernel, n_lines, span, force, r)
     return pl.pallas_call(
@@ -450,7 +464,9 @@ def _call_kernel(n_lines: int, span: int, force: bool, r: int,
             # next group's ranges (for the cross-group DMA prefetch)
             pl.BlockSpec((1, n_lines, 2), lambda g: (g + 1, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILES_PER_GROUP, n_lines, 2), lambda g: (g, 0, 0),
+            pl.BlockSpec((TILES_PER_GROUP, n_lines, 3), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILES_PER_GROUP, 1), lambda g: (g, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, LANES),
                          lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
@@ -468,7 +484,7 @@ def _call_kernel(n_lines: int, span: int, force: bool, r: int,
             pltpu.SemaphoreType.DMA((2, n_lines)),
         ],
         interpret=_interpret(),
-    )(ranges, ranges, tiles, rows, scal, fields)
+    )(ranges, ranges, tiles, counts, rows, scal, fields)
 
 
 def _scal(phys: PhysParams) -> jax.Array:
@@ -485,7 +501,8 @@ def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
     fields = pack_fields(frame, pos_s, zeros3, zeros1, n)
     rows = pack_rows(pos_s, zeros3, zeros1, frame.cid, n)
     out = _call_kernel(N_LINES_DENS, 3, False, r, frame.ranges_d,
-                       frame.tiles_d, rows, _scal(phys), fields)
+                       frame.tiles_d, frame.counts_d, rows, _scal(phys),
+                       fields)
     w_sum = out[:, :, 0].reshape(-1)[:n]
     return phys.mass * w_sum
 
@@ -502,7 +519,8 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     fields = pack_fields(frame, pos_s, vel_s, rho_s, n)
     rows = pack_rows(pos_s, vel_s, rho_s, frame.cid, n)
     out = _call_kernel(N_LINES_FORCE, 5, True, r, frame.ranges_f,
-                       frame.tiles_f, rows, _scal(phys), fields)
+                       frame.tiles_f, frame.counts_f, rows, _scal(phys),
+                       fields)
     flat = out.reshape(-1, LANES)[:n]
     f_press = flat[:, 0:3]
     f_vis = flat[:, 3:6]
