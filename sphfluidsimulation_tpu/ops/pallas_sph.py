@@ -263,9 +263,11 @@ def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
             padf(pos_s[:, 2], 2.0), padf(cid_enc, -1.0),
             padf(vel_s[:, 0], 0.0), padf(vel_s[:, 1], 0.0),
             padf(vel_s[:, 2], 0.0), padf(rho_s, 0.0)]
-    fields = jnp.stack(cols, axis=1)                      # [Np, 8]
-    fields = fields.reshape(npad // LANES, LANES, N_FIELDS)
-    fields = jnp.transpose(fields, (0, 2, 1))             # [NB, 8, 128]
+    # build as [8, NB, 128] then swap the two LEADING dims — a tile-aligned
+    # block transpose (the 128-lane minor dim never moves), vs. transposing
+    # a minor-dim-8 array which XLA relayouts at ~1 GB/s
+    fields = jnp.stack(cols, axis=0).reshape(N_FIELDS, npad // LANES, LANES)
+    fields = jnp.transpose(fields, (1, 0, 2))             # [NB, 8, 128]
     guard = jnp.zeros((MAXR, N_FIELDS, LANES), jnp.float32)
     guard = guard.at[:, 3, :].set(-1.0)
     return jnp.concatenate([fields, guard], axis=0)
