@@ -418,24 +418,29 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
 
                 rho_j = blk[7:8, :]
                 rho_ok = rho_j > EPSILON                  # VelPos.compute:91
-                gate2 = gate * rho_ok.astype(jnp.float32)
-                safe_rho = jnp.where(rho_ok, rho_j, 1.0)
+                # fold the rho guard into the (single) reciprocal: masked
+                # lanes get 1/rho == 0 and drop out of both force terms
+                inv_rho = jnp.where(rho_ok, 1.0, 0.0) / jnp.where(
+                    rho_ok, rho_j, 1.0)
 
+                # exact sqrt for |r| (diff_r = h - |r| suffers catastrophic
+                # cancellation near the support edge, so |r| needs full
+                # precision); rsqrt only replaces the 1/|r| division
                 abs_r = jnp.sqrt(r2)
+                rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
                 diff_r = h - abs_r
                 valid = (diff_r > EPSILON) & (abs_r > EPSILON)
-                safe_abs = jnp.where(valid, abs_r, 1.0)
                 gwp = jnp.where(
-                    valid,
-                    (c_grad / h6) * diff_r * diff_r * diff_r / safe_abs, 0.0)
-                gwv = jnp.where(abs_r < h, (c_grad / h6) * (h - abs_r), 0.0)
+                    valid, (c_grad / h6) * diff_r * diff_r * diff_r * rs,
+                    0.0)
+                gwv = jnp.where(abs_r < h, (c_grad / h6) * diff_r, 0.0)
 
                 press_j = gas_k * (rho_j - rho0)
-                pc = gate2 * (press_i + press_j) / (2.0 * safe_rho) * gwp
+                pc = gate * (press_i + press_j) * 0.5 * inv_rho * gwp
                 acc[0] = acc[0] + pc * dxv
                 acc[1] = acc[1] + pc * dyv
                 acc[2] = acc[2] + pc * dzv
-                vc = gate2 * gwv / safe_rho
+                vc = gate * gwv * inv_rho
                 acc[3] = acc[3] + vc * (blk[4:5, :] - rvx)
                 acc[4] = acc[4] + vc * (blk[5:6, :] - rvy)
                 acc[5] = acc[5] + vc * (blk[6:7, :] - rvz)
