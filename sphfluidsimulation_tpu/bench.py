@@ -16,7 +16,6 @@ from __future__ import annotations
 import time
 
 import jax
-import jax.numpy as jnp
 
 from .config import SimConfig
 from .sim.stepper import initial_state, make_rollout

@@ -13,7 +13,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 
 def _add_config_flags(p: argparse.ArgumentParser) -> None:
@@ -56,14 +55,11 @@ def _config_from_args(a) -> "SimConfig":
 
 
 def cmd_run(a) -> int:
-    import jax
-
     from .models.scene import Scene
     from .utils.checkpoint import load_checkpoint, save_checkpoint
     from .utils.metrics import MetricsLogger
 
     if a.resume:
-        from .sim.stepper import make_frame_step
         state, cfg, meta = load_checkpoint(a.resume)
         scene = Scene(cfg, neighbor=a.neighbor, faithful=not a.corrected)
         scene.state = state
