@@ -39,6 +39,10 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--corrected", action="store_true",
                    help="rebuild bucket+density every substep instead of "
                         "the reference's once-per-frame reuse")
+    p.add_argument("--xsph", type=float, default=0.0,
+                   help="XSPH advection-smoothing epsilon (0 disables)")
+    p.add_argument("--alpha-visc", type=float, default=0.0,
+                   help="Monaghan artificial-viscosity alpha (0 disables)")
 
 
 def _config_from_args(a) -> "SimConfig":
@@ -50,7 +54,7 @@ def _config_from_args(a) -> "SimConfig":
         gas_constant=a.gas_constant, stiffness_coefficient=a.stiffness,
         damping_coefficient=a.damping, particle_radius=a.particle_radius,
         low_speed=a.low_speed, high_speed=a.high_speed, frame_dt=a.frame_dt,
-        seed=a.seed,
+        seed=a.seed, xsph=a.xsph, artificial_viscosity=a.alpha_visc,
     ).validate()
 
 
