@@ -29,6 +29,8 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "out"))
     ap.add_argument("--neighbor", default="pallas")
+    ap.add_argument("--xsph", type=float, default=0.0)
+    ap.add_argument("--alpha-visc", type=float, default=0.0)
     a = ap.parse_args()
 
     import jax
@@ -45,7 +47,8 @@ def main() -> int:
     from sphfluidsimulation_tpu.utils.metrics import MetricsLogger
     from sphfluidsimulation_tpu.utils.profiling import device_sync
 
-    cfg = scaled_config(a.particles)
+    cfg = scaled_config(a.particles).replace(
+        xsph=a.xsph, artificial_viscosity=a.alpha_visc)
     os.makedirs(a.out, exist_ok=True)
     print(f"scene: {cfg.n_particles} particles, R={cfg.bucket_resolution}, "
           f"backend={a.neighbor}, device={jax.devices()[0]}", flush=True)

@@ -305,8 +305,9 @@ def _decode_cell(cid, r: int):
 
 
 def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
-                ranges_ref, ranges_nxt_ref, tiles_ref, counts_ref, rows_ref,
-                scal_ref, fields_ref, out_ref, scratch, sems):
+                use_ext: bool, ranges_ref, ranges_nxt_ref, tiles_ref,
+                counts_ref, rows_ref, scal_ref, fields_ref, out_ref,
+                scratch, sems):
     """One group: DMA candidate lines, evaluate row-tiles.
 
     Line buffers are double-buffered ACROSS grid steps: group g computes
@@ -356,6 +357,7 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
     h9 = h6 * h2 * h
     c_poly6 = jnp.float32(315.0 / (64.0 * _PI))
     c_grad = jnp.float32(45.0 / _PI)
+    cs = jnp.sqrt(gas_k)
 
     for rt in range(TILES_PER_GROUP):
         rows = rows_ref[rt]                                # (8, 128)
@@ -378,8 +380,9 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
             rvz = rows[:, 5:6]
             rrho = rows[:, 6:7]
             press_i = gas_k * (rrho - rho0)
+            n_acc = 12 if use_ext else 6
             acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)
-                   for _ in range(6)]
+                   for _ in range(n_acc)]
         else:
             acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)]
 
@@ -444,6 +447,33 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
                 acc[3] = acc[3] + vc * (blk[4:5, :] - rvx)
                 acc[4] = acc[4] + vc * (blk[5:6, :] - rvy)
                 acc[5] = acc[5] + vc * (blk[6:7, :] - rvz)
+
+                if use_ext:
+                    # XSPH raw sum: 2/(rho_i+rho_j) W_poly6 (v_j - v_i)
+                    # (eps and mass folded in outside the kernel)
+                    d2 = h2 - r2
+                    w6 = jnp.where(d2 > 0, c_poly6 * d2 * d2 * d2 / h9, 0.0)
+                    denom = rrho + rho_j
+                    xc = gate * jnp.where(denom > EPSILON, 2.0, 0.0) \
+                        / jnp.where(denom > EPSILON, denom, 1.0) * w6
+                    acc[6] = acc[6] + xc * (blk[4:5, :] - rvx)
+                    acc[7] = acc[7] + xc * (blk[5:6, :] - rvy)
+                    acc[8] = acc[8] + xc * (blk[6:7, :] - rvz)
+                    # Monaghan PI raw sum: PI gwp d (alpha, m^2 folded
+                    # outside; cs = sqrt(gas_k))
+                    dvx2 = rvx - blk[4:5, :]
+                    dvy2 = rvy - blk[5:6, :]
+                    dvz2 = rvz - blk[6:7, :]
+                    vr = dvx2 * dxv + dvy2 * dyv + dvz2 * dzv
+                    rho_bar = 0.5 * (rrho + rho_j)
+                    mu = h * vr / (r2 + 0.01 * h2)
+                    pi_ok = (vr < 0) & (rho_bar > EPSILON)
+                    pi = jnp.where(pi_ok, -cs * mu, 0.0) \
+                        / jnp.where(pi_ok, rho_bar, 1.0)
+                    ac = gate * pi * gwp
+                    acc[9] = acc[9] + ac * dxv
+                    acc[10] = acc[10] + ac * dyv
+                    acc[11] = acc[11] + ac * dzv
                 return acc
 
             return jax.lax.fori_loop(k0, k1, chunk_body, acc, unroll=False)
@@ -459,9 +489,11 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
 
 
 def _call_kernel(n_lines: int, span: int, force: bool, r: int,
-                 ranges, tiles, counts, rows, scal, fields):
+                 ranges, tiles, counts, rows, scal, fields, *,
+                 use_ext: bool = False):
     n_groups = ranges.shape[0] - 1
-    kernel = functools.partial(_sph_kernel, n_lines, span, force, r)
+    kernel = functools.partial(_sph_kernel, n_lines, span, force, r,
+                               use_ext)
     return pl.pallas_call(
         kernel,
         grid=(n_groups,),
@@ -515,19 +547,24 @@ def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
 
 
 def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
-                  rho_s: jax.Array, phys: PhysParams, r: int, n: int
-                  ) -> tuple[jax.Array, jax.Array]:
-    """Pressure + viscosity per sorted particle (VelPos.compute:49-105).
+                  rho_s: jax.Array, phys: PhysParams, r: int, n: int, *,
+                  xsph: float = 0.0, alpha_visc: float = 0.0
+                  ) -> tuple[jax.Array, jax.Array | None, jax.Array]:
+    """Pressure + viscosity per sorted particle (VelPos.compute:49-105),
+    optionally fused with the XSPH / artificial-viscosity extension sums
+    (ops/extensions.py semantics).
 
-    Returns (f_fluid f32[n,3], drift_overflow i32[]) — the second is the
-    exactness certificate: rows whose fresh cell drifted > 1 cell from the
-    stale cell on some axis (their windows may be under-covered).
+    Returns (f_fluid f32[n,3], xsph_dv f32[n,3] | None, drift_overflow
+    i32[]) — the last is the exactness certificate: rows whose fresh cell
+    drifted > 1 cell from the stale cell on some axis (their windows may be
+    under-covered).
     """
+    use_ext = xsph != 0.0 or alpha_visc != 0.0
     fields = pack_fields(frame, pos_s, vel_s, rho_s, n)
     rows = pack_rows(pos_s, vel_s, rho_s, frame.cid, n)
     out = _call_kernel(N_LINES_FORCE, 5, True, r, frame.ranges_f,
                        frame.tiles_f, frame.counts_f, rows, _scal(phys),
-                       fields)
+                       fields, use_ext=use_ext)
     flat = out.reshape(-1, LANES)[:n]
     f_press = flat[:, 0:3]
     f_vis = flat[:, 3:6]
@@ -541,6 +578,16 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
                       f_vis * (phys.viscosity * phys.mass * phys.mass / safe),
                       f_vis)
 
+    xsph_dv = None
+    f_ext = 0.0
+    if use_ext:
+        # fold the constants left out of the kernel's raw sums
+        xsph_dv = (jnp.float32(xsph) * phys.mass * flat[:, 6:9]
+                   if xsph != 0.0 else None)
+        if alpha_visc != 0.0:
+            f_ext = (jnp.float32(alpha_visc) * phys.mass * phys.mass
+                     * flat[:, 9:12])
+
     # certificate: coverage holds when the (clamped) fresh cell is within
     # 1 of the anchor on every axis — valid window cells of out-of-cube
     # positions neighbor the CLAMPED cell, so clamp before comparing
@@ -551,4 +598,4 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     stale = jnp.stack([stale_x, stale_y, stale_z], -1)
     drift = jnp.max(jnp.abs(fresh - stale), axis=-1)
     drift_overflow = jnp.sum((drift > 1).astype(jnp.int32))
-    return f_press + f_vis, drift_overflow
+    return f_press + f_vis + f_ext, xsph_dv, drift_overflow

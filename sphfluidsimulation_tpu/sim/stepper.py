@@ -130,10 +130,10 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
 
     use_xsph = cfg.xsph != 0.0
     use_avisc = cfg.artificial_viscosity != 0.0
-    if (use_xsph or use_avisc) and neighbor not in ("slotted", "brute"):
+    if (use_xsph or use_avisc) and neighbor == "gather":
         raise NotImplementedError(
-            "xsph/artificial viscosity are implemented for the 'slotted' "
-            "and 'brute' backends")
+            "xsph/artificial viscosity are implemented for the 'slotted', "
+            "'pallas' and 'brute' backends")
 
     def forces(pos, vel, rho, bucket, frame, phys):
         if neighbor == "brute":
@@ -213,6 +213,7 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
     r = cfg.bucket_resolution
     n = cfg.n_particles
     cap = cfg.voxel_capacity if cfg.voxel_capacity is not None else 32
+    xsph, alpha = cfg.xsph, cfg.artificial_viscosity
     if not faithful:
         raise NotImplementedError(
             "the pallas backend implements the reference's faithful frame "
@@ -227,10 +228,11 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
 
         def substep(carry, _):
             pos_s, vel_s, nan_hits, drift = carry
-            f_fluid, d = pallas_sph.forces_pallas(frame, pos_s, vel_s, rho_s,
-                                                  phys, r, n)
+            f_fluid, xsph_dv, d = pallas_sph.forces_pallas(
+                frame, pos_s, vel_s, rho_s, phys, r, n, xsph=xsph,
+                alpha_visc=alpha)
             pos_s, vel_s, nan_mask = integrate_substep(pos_s, vel_s, f_fluid,
-                                                       phys)
+                                                       phys, xsph_dv)
             return (pos_s, vel_s, nan_hits + nan_mask.astype(jnp.int32),
                     drift + d), None
 

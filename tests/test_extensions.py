@@ -80,3 +80,13 @@ def test_artificial_viscosity_opposes_approach():
 def test_unsupported_backend_raises():
     with pytest.raises(NotImplementedError):
         make_frame_step(BASE.replace(xsph=0.5), neighbor="gather")
+
+
+def test_pallas_extensions_match_brute_oracle():
+    cfg = BASE.replace(xsph=0.3, artificial_viscosity=0.4)
+    st = initial_state(cfg)
+    sp, mp = jax.jit(make_frame_step(cfg, neighbor="pallas"))(st)
+    sb, mb = jax.jit(make_frame_step(cfg, neighbor="brute"))(st)
+    assert (int(mp.overflow) >> 20) == 0  # calm config: certificate holds
+    np.testing.assert_allclose(np.asarray(sp.pos), np.asarray(sb.pos),
+                               atol=1e-5)

@@ -71,8 +71,8 @@ def test_forces_match_brute_at_frame_start():
 
     frame, (pos_s, vel_s, rho_s) = pallas_sph.build_frame(
         pos, r, 32, extras=(pos, vel, rho))
-    f_s, drift = pallas_sph.forces_pallas(frame, pos_s, vel_s, rho_s,
-                                          phys, r, n)
+    f_s, _, drift = pallas_sph.forces_pallas(frame, pos_s, vel_s, rho_s,
+                                             phys, r, n)
     f_p = jnp.zeros_like(f_s).at[frame.order].set(f_s)
     scale = np.abs(np.asarray(f_b)).max()
     np.testing.assert_allclose(np.asarray(f_p) / scale,
