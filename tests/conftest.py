@@ -20,4 +20,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env-var set above is ineffective when the harness sitecustomize has
+# ALREADY imported jax (its registration hook runs at interpreter start, and
+# jax captures JAX_PLATFORMS at import). Update the live config too, before
+# any backend initializes — otherwise tests silently run on the tunneled TPU
+# (slow, and different float arithmetic breaks the bit-exactness pins).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; got " + jax.default_backend())
