@@ -162,6 +162,7 @@ def cmd_sweep(a) -> int:
         "mean_density": [round(float(x), 4) for x in m.mean_density],
         "max_speed": [float(x) for x in m.max_speed],
         "overflow": [int(x) for x in m.overflow],
+        "exact_cert": [int(x) for x in m.exact_cert],
     }))
     if a.export_dir:
         os.makedirs(a.export_dir, exist_ok=True)

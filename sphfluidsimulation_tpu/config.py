@@ -85,7 +85,11 @@ class SimConfig:
     # alpha (BASELINE config 3); 0.0 disables (reference-faithful path).
     xsph: float = 0.0
     artificial_viscosity: float = 0.0
-    # Voxel slot capacity; None disables the reference's silent 32-cap drop.
+    # Voxel slot capacity (the reference silently drops particles beyond 32
+    # per voxel, Bucket.compute:2,30-35). None disables the drop entirely —
+    # supported by the 'brute' and 'pallas' backends, whose candidate
+    # structures are not capacity-shaped; 'slotted'/'gather' allocate static
+    # per-voxel slot arrays and raise a ValueError for None (pick a cap).
     voxel_capacity: int | None = REFERENCE_VOXEL_CAPACITY
     # Noise seed offset (the reference noise is a pure function of position
     # and particle index; seed shifts the noise-domain offset).

@@ -106,14 +106,16 @@ def padded_n(n: int) -> int:
     return _pad_to(n, TILES_PER_GROUP * ROWS_PER_TILE)
 
 
-def build_frame(pos: jax.Array, r: int, capacity: int,
+def build_frame(pos: jax.Array, r: int, capacity: int | None,
                 extras: tuple[jax.Array, ...] = ()
                 ) -> tuple[SortedFrame, tuple[jax.Array, ...]]:
     """Sort by stale cell id and precompute line ranges (XLA, per frame).
 
     Matches grid.build_bucket semantics: flat id x + y*R + z*R^2
     (Bucket.compute:28), deterministic tie-break by particle index, silent
-    drop of ranks >= capacity and of out-of-range flat ids.
+    drop of ranks >= capacity and of out-of-range flat ids. ``capacity=None``
+    disables the rank drop entirely (framework extension: exact, uncapped
+    neighbor lists — the sorted-runs structure is not capacity-shaped).
 
     ``extras``: per-particle [N] or [N, k] arrays to carry through the sort
     (e.g. positions/velocities) — sorted as sort *operands* rather than
@@ -162,7 +164,9 @@ def build_frame(pos: jax.Array, r: int, capacity: int,
     new_run = jnp.concatenate([jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]])
     run_start = jax.lax.cummax(jnp.where(new_run, idx, 0))
     rank = idx - run_start
-    occ = (rank < capacity) & (in_range_s > 0)
+    occ = in_range_s > 0
+    if capacity is not None:
+        occ = occ & (rank < capacity)
 
     start = jnp.searchsorted(
         cid_s, jnp.arange(r * r * r + 1, dtype=jnp.int32), side="left"
@@ -364,11 +368,16 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
         rx = rows[:, 0:1]
         ry = rows[:, 1:2]
         rz = rows[:, 2:3]
-        # fresh cell, HLSL int-cast truncation semantics (pos >= 0 here
-        # except pad rows, whose cells miss every lane anyway)
-        fx = jnp.floor(rx * (rf - 1.0))
-        fy = jnp.floor(ry * (rf - 1.0))
-        fz = jnp.floor(rz * (rf - 1.0))
+        # fresh cell, HLSL int-cast semantics (VelPos.compute:58): the int3()
+        # cast truncates toward zero, which differs from floor for negative
+        # coordinates (jitter-spawned positions below 0 during frame 0's
+        # first substep, before the first clamp) — match cell_index exactly
+        def _trunc(v):
+            return v.astype(jnp.int32).astype(jnp.float32)
+
+        fx = _trunc(rx * (rf - 1.0))
+        fy = _trunc(ry * (rf - 1.0))
+        fz = _trunc(rz * (rf - 1.0))
         # stale cell (flat-id decomposition) — the dedup key: a lane counts
         # in line (dy, dz) only when its cell is exactly (sy+dy, sz+dz),
         # so overlapping fetched ranges never double-count a candidate.

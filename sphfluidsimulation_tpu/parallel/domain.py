@@ -92,7 +92,7 @@ def _make_local_step(cfg: SimConfig, axis: str):
         nan_events = jax.lax.psum(jnp.sum(nan_hits), axis)
         m = StepMetrics(max_speed=max_speed, mean_density=mean_rho,
                         kinetic_energy=ke, nan_events=nan_events,
-                        overflow=ovf)
+                        overflow=ovf, exact_cert=jnp.int32(0))
         return pos_sh, vel_sh, nan_sh + nan_hits, m
 
     return local_step

@@ -60,7 +60,8 @@ def integrate_substep(pos: jax.Array, vel: jax.Array, f_fluid: jax.Array,
 
 
 def _metrics(state: ParticleState, rho: jax.Array, nan_events: jax.Array,
-             overflow: jax.Array, p: PhysParams) -> StepMetrics:
+             overflow: jax.Array, p: PhysParams,
+             exact_cert: jax.Array | None = None) -> StepMetrics:
     speed2 = jnp.sum(state.vel * state.vel, axis=-1)
     return StepMetrics(
         max_speed=jnp.sqrt(jnp.max(speed2)),
@@ -68,6 +69,8 @@ def _metrics(state: ParticleState, rho: jax.Array, nan_events: jax.Array,
         kinetic_energy=0.5 * p.mass * jnp.sum(speed2),
         nan_events=nan_events,
         overflow=overflow,
+        exact_cert=(jnp.int32(0) if exact_cert is None
+                    else exact_cert.astype(jnp.int32)),
     )
 
 
@@ -78,11 +81,6 @@ def _brute_pair_mask(pos, bucket, r: int):
     return brute._window_mask(cell_i, bucket.cell_id, bucket.in_table, r)
 
 
-def _dense_capacity(cfg: SimConfig) -> int:
-    """Fallback slot capacity when the reference cap is disabled: a static
-    bound big enough for typical occupancy (4× the mean, min 8)."""
-    mean = max(1, cfg.n_particles // cfg.n_cells)
-    return max(8, 4 * mean)
 
 
 def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
@@ -106,7 +104,15 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
     r = cfg.bucket_resolution
     n = cfg.n_particles
     cap = cfg.voxel_capacity
-    grid_capacity = cap if cap is not None else _dense_capacity(cfg)
+    if cap is None and neighbor != "brute":
+        # The slotted/gather backends allocate static [n_cells, capacity]
+        # slot arrays — an uncapped variant would need capacity == N. Loud
+        # failure beats the silent 4x-mean substitute it used to be.
+        raise ValueError(
+            "voxel_capacity=None (no reference drop) is supported by the "
+            "'brute' and 'pallas' backends only; pick a finite capacity "
+            f"for neighbor={neighbor!r}")
+    grid_capacity = cap
     ids = jnp.arange(n, dtype=jnp.int32)
 
     def frame_aux(pos, phys):
@@ -205,14 +211,14 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
     forces + wall/gravity/integrate, all in sorted space) → un-permute.
     Orderings and semantics match the reference pipeline exactly
     (SphFluidSimulation.cs:96-108); the kernels carry exactness
-    certificates (drift/clip counters) surfaced via StepMetrics.overflow's
-    upper bits — see ops/pallas_sph.py.
+    certificates (drift/clip counters) surfaced as StepMetrics.exact_cert
+    — see ops/pallas_sph.py.
     """
     from ..ops import pallas_sph
 
     r = cfg.bucket_resolution
     n = cfg.n_particles
-    cap = cfg.voxel_capacity if cfg.voxel_capacity is not None else 32
+    cap = cfg.voxel_capacity  # None -> no capacity drop (exactly uncapped)
     xsph, alpha = cfg.xsph, cfg.artificial_viscosity
     if not faithful:
         raise NotImplementedError(
@@ -250,12 +256,10 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
                                   nan_count=state.nan_count + nan_unsorted)
         # matches grid.overflow_count: rank-overflow + out-of-range drops
         ovf = jnp.sum(~frame.occ).astype(jnp.int32)
-        # certificate counters ride the overflow metric's upper bits:
-        # any nonzero drift/clip marks the frame as not-bitwise-exact
-        cert = jnp.minimum(drift + frame.clip_count, 2047)
         rho_metric = jnp.zeros(n, jnp.float32).at[frame.order].set(rho_s)
-        m = _metrics(new_state, rho_metric, jnp.sum(nan_hits),
-                     ovf + cert * (1 << 20), phys)
+        # any nonzero drift/clip marks the frame as not-bitwise-exact
+        m = _metrics(new_state, rho_metric, jnp.sum(nan_hits), ovf, phys,
+                     exact_cert=drift + frame.clip_count)
         return new_state, m
 
     return step
@@ -272,16 +276,34 @@ def make_frame_step(cfg: SimConfig, *, neighbor: str = "slotted",
 def make_rollout(cfg: SimConfig, n_frames: int, *, neighbor: str = "slotted",
                  faithful: bool = True, snapshot_every: int = 0):
     """Build a jitted ``state → (state, metrics[, snapshots])`` rollout over
-    ``n_frames`` frames via lax.scan (one device dispatch per rollout)."""
+    ``n_frames`` frames via lax.scan (one device dispatch per rollout).
+
+    ``snapshot_every=k`` (k > 0) additionally returns the position array of
+    every k-th frame (frames k-1, 2k-1, ... in 0-based frame order), stacked
+    as ``f32[n_frames // k, N, 3]``; 0 disables snapshots.
+    """
     step = make_frame_step(cfg, neighbor=neighbor, faithful=faithful)
+    if snapshot_every < 0 or (snapshot_every and n_frames % snapshot_every):
+        raise ValueError("snapshot_every must be 0 or divide n_frames")
 
     def body(state, _):
         new_state, m = step(state)
         out = (m, new_state.pos) if snapshot_every == 1 else (m,)
         return new_state, out
 
+    def chunk_body(state, _):
+        # inner scan of k frames; only the chunk-final positions are kept,
+        # so device memory holds n_frames // k snapshots, not n_frames
+        state, (m,) = jax.lax.scan(body, state, None, length=snapshot_every)
+        return state, (m, state.pos)
+
     @jax.jit
     def rollout(state: ParticleState):
+        if snapshot_every > 1:
+            final, (m, snaps) = jax.lax.scan(
+                chunk_body, state, None, length=n_frames // snapshot_every)
+            m = jax.tree.map(lambda x: x.reshape((n_frames,) + x.shape[2:]), m)
+            return final, m, snaps
         final, outs = jax.lax.scan(body, state, None, length=n_frames)
         return (final,) + tuple(outs)
 

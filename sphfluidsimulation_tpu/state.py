@@ -65,3 +65,7 @@ class StepMetrics(NamedTuple):
     kinetic_energy: jax.Array # f32[]
     nan_events: jax.Array     # i32[] — total NaN traps this frame
     overflow: jax.Array       # i32[] — particles dropped by voxel capacity
+    exact_cert: jax.Array     # i32[] — pallas exactness certificate: count of
+                              # under-covered candidate windows this frame
+                              # (0 == bitwise reference candidate set; always
+                              # 0 on the brute/gather/slotted backends)

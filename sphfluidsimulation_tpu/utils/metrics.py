@@ -44,6 +44,7 @@ class MetricsLogger:
             "kinetic_energy": float(m.kinetic_energy),
             "nan_events": int(m.nan_events),
             "overflow": int(m.overflow),
+            "exact_cert": int(m.exact_cert),
             **extra,
         }
         self.history.append(rec)

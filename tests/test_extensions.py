@@ -87,6 +87,6 @@ def test_pallas_extensions_match_brute_oracle():
     st = initial_state(cfg)
     sp, mp = jax.jit(make_frame_step(cfg, neighbor="pallas"))(st)
     sb, mb = jax.jit(make_frame_step(cfg, neighbor="brute"))(st)
-    assert (int(mp.overflow) >> 20) == 0  # calm config: certificate holds
+    assert int(mp.exact_cert) == 0  # calm config: certificate holds
     np.testing.assert_allclose(np.asarray(sp.pos), np.asarray(sb.pos),
                                atol=1e-5)

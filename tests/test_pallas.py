@@ -2,7 +2,7 @@
 
 Runs in interpret mode on CPU (ops/pallas_sph._interpret). The calm config
 keeps per-frame cell drift <= 1 so the kernels' exactness certificate
-(drift/clip counters, packed into StepMetrics.overflow >> 20) must stay 0
+(drift/clip counters, surfaced as StepMetrics.exact_cert) must stay 0
 and trajectories must track the oracle to float-summation tolerance.
 """
 
@@ -22,11 +22,11 @@ GOLDENISH = SimConfig(particle_number=1024, bucket_resolution=11)
 
 
 def _cert(m):
-    return int(m.overflow) >> 20
+    return int(m.exact_cert)
 
 
 def _ovf(m):
-    return int(m.overflow) & ((1 << 20) - 1)
+    return int(m.overflow)
 
 
 def test_density_matches_brute_first_frame():
@@ -101,3 +101,33 @@ def test_build_frame_semantics():
     np.testing.assert_array_equal(occ_unsorted, np.asarray(bucket.in_table))
     # sorted ids are nondecreasing
     assert bool(np.all(np.diff(np.asarray(frame.cid)) >= 0))
+
+
+def test_voxel_capacity_none_never_drops():
+    # None disables the reference's capacity drop entirely: every in-cube
+    # particle stays occupied (no silent substitute cap), and the dense
+    # cluster's pallas densities match the uncapped brute oracle.
+    from sphfluidsimulation_tpu.ops import pallas_sph
+    from sphfluidsimulation_tpu.sim.stepper import make_frame_step
+
+    rng = np.random.default_rng(7)
+    # 256 particles crammed into one corner cell: far beyond any sane cap
+    pos = jnp.asarray(rng.uniform(0, 0.05, (256, 3)), np.float32)
+    frame, _ = pallas_sph.build_frame(pos, 9, None)
+    assert bool(jnp.all(frame.occ))
+
+    cfg = CALM.replace(voxel_capacity=None)
+    st = initial_state(cfg)
+    sp, mp = jax.jit(make_frame_step(cfg, neighbor="pallas"))(st)
+    sb, mb = jax.jit(make_frame_step(cfg, neighbor="brute"))(st)
+    assert int(mp.overflow) == 0 and int(mb.overflow) == 0
+    assert int(mp.exact_cert) == 0
+    np.testing.assert_allclose(np.asarray(sp.pos), np.asarray(sb.pos),
+                               atol=1e-6)
+
+
+def test_voxel_capacity_none_raises_on_slot_backends():
+    cfg = CALM.replace(voxel_capacity=None)
+    for nb in ("slotted", "gather"):
+        with pytest.raises(ValueError):
+            make_frame_step(cfg, neighbor=nb)

@@ -2,6 +2,7 @@
 items 3-4; reference pipeline SphFluidSimulation.cs:96-108)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +96,22 @@ def test_snapshots():
     final, metrics, snaps = rollout(initial_state(CFG))
     assert snaps.shape == (3, CFG.n_particles, 3)
     np.testing.assert_allclose(np.asarray(snaps[-1]), np.asarray(final.pos))
+
+
+def test_snapshots_every_n():
+    # every-N keeps frames N-1, 2N-1, ... and matches the every-1 frames
+    r1 = make_rollout(CFG, 4, snapshot_every=1)
+    r2 = make_rollout(CFG, 4, snapshot_every=2)
+    st = initial_state(CFG)
+    _, m1, s1 = r1(st)
+    final2, m2, s2 = r2(st)
+    assert s2.shape == (2, CFG.n_particles, 3)
+    np.testing.assert_array_equal(np.asarray(s2[0]), np.asarray(s1[1]))
+    np.testing.assert_array_equal(np.asarray(s2[1]), np.asarray(s1[3]))
+    np.testing.assert_array_equal(np.asarray(m2.max_speed),
+                                  np.asarray(m1.max_speed))
+    with pytest.raises(ValueError):
+        make_rollout(CFG, 3, snapshot_every=2)
 
 
 def test_deterministic_rollout():
