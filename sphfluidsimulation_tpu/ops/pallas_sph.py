@@ -10,20 +10,23 @@ module removes gathers from the hot path entirely:
 * the sorted SoA is packed into 128-lane field rows ``[NB, 8, 128]``
   (fields x, y, z, cid_enc, vx, vy, vz, rho), so every neighbor-window
   fetch is a contiguous, aligned DMA of whole rows;
-* a Pallas kernel processes row-tiles of 8 sorted particles, DMAs the
-  candidate *lines* (contiguous sorted ranges covering the 27-cell window,
-  Density.compute:42-52 / VelPos.compute:67-81) into VMEM per group of 16
-  row-tiles, and evaluates the pair math on (8, 128) VPU tiles with exact
-  per-lane membership masks.
+* a Pallas kernel processes one group of 1024 sorted particles per grid
+  step: ONE double-buffered DMA fetches the group's whole candidate
+  window (the contiguous sorted range covering every 27-cell-window line,
+  Density.compute:42-52 / VelPos.compute:67-81), and each 32-row tile
+  evaluates the pair math over its merged DISJOINT chunk intervals on
+  (32, 128) VPU tiles with exact per-lane membership masks.
 
 Exactness: candidates are masked by Chebyshev(cell_j, fresh_cell_i) <= 1
 computed from each lane's actual cell — identical to the reference's
-bounds-checked 27-cell walk. The fetched ranges cover the fresh window as
-long as a particle drifts <= 1 cell per axis within the frame (the force
-pass window is fetched +-2 lines around the *stale* cell); rows that drift
-farther, and window lines longer than the fetched MAXR rows, are counted
-into certificate outputs — when both counters are zero the result is
-exactly the reference candidate set. Sane configs keep them at zero
+bounds-checked 27-cell walk; since the window is a single contiguous
+range each candidate appears exactly once, so no dedup key is needed.
+The per-tile intervals cover the fresh window as long as a particle
+drifts <= 1 cell per axis within the frame (force intervals carry +-2
+lines of slack around the *stale* cell); rows that drift farther, and
+intervals truncated by the static window size, are counted into
+certificate outputs — when both counters are zero the result is exactly
+the reference candidate set. Sane configs keep them at zero
 (1-cell-per-frame drift needs speeds > h/frame_dt ~ 6.5 u/s in the golden
 scene); exploding configs degrade gracefully and visibly instead of
 silently.
@@ -51,15 +54,24 @@ from ..params import PhysParams
 
 _PI = math.pi
 
-# Layout constants.
+# Layout constants. ROWS_PER_TILE / TILES_PER_GROUP are perf-tuning knobs
+# (env-overridable for sweeps): the per-(tile, interval) scalar-core loop
+# overhead (~0.4 us measured on v5e) argues for large tiles, VPU lane
+# utilization for small ones.
+import os as _os
+
 LANES = 128          # particles per field row
-ROWS_PER_TILE = 32   # sorted particles per compute row-tile (4 sublane regs)
-TILES_PER_GROUP = 8  # row-tiles per kernel program (256 particles)
+ROWS_PER_TILE = int(_os.environ.get("SPH_PALLAS_ROWS", 32))
+TILES_PER_GROUP = int(_os.environ.get("SPH_PALLAS_TPG", 32))
 N_FIELDS = 8         # x, y, z, cid_enc, vx, vy, vz, rho
-MAXR = 6             # DMA'd 128-particle rows per candidate line
-E_X = 2              # x-cell slack on fetched line ranges (force pass)
+E_X = 2              # x-cell slack on candidate line ranges (force pass)
 N_LINES_FORCE = 25   # (dy, dz) in [-2, 2]^2 — covers 1-cell y/z drift
 N_LINES_DENS = 9     # (dy, dz) in [-1, 1]^2 — frame start, no drift
+W_FUDGE = float(_os.environ.get("SPH_PALLAS_W_FUDGE", 1.5))
+LINE_FUDGE = 4.0     # per-line chunk cap over the mean-occupancy estimate;
+                     # longer lines are truncated + counted (certificate),
+                     # bounding worst-case compute when exploding scenes
+                     # pile thousands of particles into wall cells
 
 
 def _interpret() -> bool:
@@ -88,13 +100,15 @@ class SortedFrame(NamedTuple):
     raw: jax.Array        # i32[Np] — reference raw flat id (may be invalid)
     occ: jax.Array        # bool[Np] — in the reference bucket (rank < cap)
     start: jax.Array      # i32[R^3 + 1] — cell run starts in sorted order
-    ranges_f: jax.Array   # i32[G+1, 25, 2] — force line (lo128, nchunks)
-    ranges_d: jax.Array   # i32[G+1, 9, 2] — density-pass line ranges
-    tiles_f: jax.Array    # i32[T, 25, 3] — compacted (line, k0, k1) (force)
-    tiles_d: jax.Array    # i32[T, 9, 3] — compacted (line, k0, k1) (density)
-    counts_f: jax.Array   # i32[T, 1] — nonempty lines per row-tile (force)
-    counts_d: jax.Array   # i32[T, 1] — nonempty lines per row-tile (density)
-    clip_count: jax.Array # i32[] — lines longer than MAXR (certificate)
+    win_f: jax.Array      # i32[G+1, 1, 1] — per-group window base (force)
+    win_d: jax.Array      # i32[G+1, 1, 1] — per-group window base (density)
+    tiles_f: jax.Array    # i32[T, 25, 2] — merged disjoint chunk intervals
+                          #   (k0, k1) relative to the group window (force)
+    tiles_d: jax.Array    # i32[T, 9, 2] — density-pass chunk intervals
+    counts_f: jax.Array   # i32[T, 1] — live intervals per row-tile (force)
+    counts_d: jax.Array   # i32[T, 1] — live intervals per row-tile (density)
+    clip_count: jax.Array # i32[] — intervals truncated by the static window
+                          #   cap (certificate; 0 == full coverage)
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -104,6 +118,30 @@ def _pad_to(n: int, m: int) -> int:
 def padded_n(n: int) -> int:
     # group granularity (128 particles) == field-row granularity (128 lanes)
     return _pad_to(n, TILES_PER_GROUP * ROWS_PER_TILE)
+
+
+def window_rows(n: int, r: int, e: int, ex: int) -> int:
+    """Static per-group candidate-window size (128-particle rows).
+
+    A group's window is ONE contiguous sorted range covering every
+    (dy, dz) ∈ [-e, e]² candidate line of its particles: the group's stale
+    cid span plus 2·(e·(r² + r) + ex + 1) cells of symmetric margin. Sized
+    from mean occupancy with a W_FUDGE safety factor; frames whose actual
+    window exceeds it degrade visibly via the clip certificate.
+    """
+    occ = n / float(r * r * r)
+    gp = TILES_PER_GROUP * ROWS_PER_TILE
+    margin_cells = 2 * (e * (r * r + r) + ex + 1)
+    est = gp + margin_cells * occ + 2 * LANES
+    rows = int(math.ceil(W_FUDGE * est / LANES))
+    return min(rows, _pad_to(padded_n(n), LANES) // LANES + 1)
+
+
+def fields_rows(n: int, r: int) -> int:
+    """Total rows of the packed fields array: the padded particle rows plus
+    guard rows so every clamped window fetch [base, base + W) is in-bounds."""
+    w = max(window_rows(n, r, 2, E_X), window_rows(n, r, 1, 1))
+    return max(padded_n(n) // LANES + 1, w)
 
 
 def build_frame(pos: jax.Array, r: int, capacity: int | None,
@@ -190,57 +228,98 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
     tile_is_pad = (jnp.arange(n_tiles, dtype=jnp.int32)
                    * ROWS_PER_TILE) >= n
 
-    def line_ranges(n_lines: int, span: int, ex: int):
+    nb_tot = fields_rows(n, r)
+
+    def line_ranges(n_lines: int, span: int, ex: int, w_rows: int):
+        """Single contiguous window per group + merged per-tile intervals.
+
+        Each group fetches ONE sorted range [wbase·128, (wbase+w_rows)·128)
+        that covers the union of its candidate lines, so every candidate
+        appears exactly once in the fetched buffer and the kernel needs no
+        line-dedup key — the compute loop runs merged DISJOINT chunk
+        intervals per row-tile with a pure fresh-window membership mask.
+        """
         k = jnp.arange(n_lines, dtype=jnp.int32)
         dy = k % span - span // 2
         dz = k // span - span // 2
-        off = dy * r + dz * (r * r)
-        a_cell = jnp.clip(gc_lo[:, None] + off[None, :] - ex, 0, r * r * r - 1)
-        b_cell = jnp.clip(gc_hi[:, None] + off[None, :] + ex, 0, r * r * r - 1)
-        a = start[a_cell]
-        b = start[b_cell + 1]
-        lo128 = jnp.clip(a // LANES, 0, None)
-        nch_full = -(-(b - lo128 * LANES) // LANES)
-        nch = jnp.clip(nch_full, 0, MAXR)
-        clipped = jnp.sum((nch_full > MAXR).astype(jnp.int32))
-        out = jnp.stack([lo128, nch], axis=-1).astype(jnp.int32)
-        # extra zero row: the double-buffered kernel reads group g+1's
-        # ranges; the last group's prefetch is guarded off but the block
-        # spec still addresses the row
-        out = jnp.pad(out, ((0, 1), (0, 0), (0, 0)))
+        off = dy * r + dz * (r * r)  # strictly increasing with k (r > 4)
 
-        # per-TILE chunk bounds within the group's fetched buffer — the
-        # kernel's compute loop runs exactly [k0, k1) chunks per row-tile,
-        # which both gates irrelevant lines (empty range) and skips chunks
-        # outside the tile's own window
+        # group window base: the union of the group's line ranges starts at
+        # the first (lowest-offset) line's start
+        a_cell_g = jnp.clip(gc_lo[:, None] + off[None, :] - ex, 0,
+                            r * r * r - 1)
+        a_g = start[a_cell_g]
+        wlo = jnp.min(a_g, axis=1) // LANES
+        wbase = jnp.clip(jnp.minimum(wlo, nb_tot - w_rows), 0, None)
+        # [G+1, 1, 1]: Mosaic requires the last two block dims to equal
+        # the array dims (or be 8/128-divisible); keep the group axis
+        # leading so it can be blocked by 1
+        win = jnp.pad(wbase[:, None, None].astype(jnp.int32),
+                      ((0, 1), (0, 0), (0, 0)))
+
+        # per-tile line ranges -> chunk intervals relative to wbase
         ta_cell = jnp.clip(tc_lo[:, None] + off[None, :] - ex, 0,
                            r * r * r - 1)
         tb_cell = jnp.clip(tc_hi[:, None] + off[None, :] + ex, 0,
                            r * r * r - 1)
         ta = start[ta_cell]
         tb = start[tb_cell + 1]
-        lo128_t = jnp.repeat(lo128, TILES_PER_GROUP, axis=0)
-        nch_t = jnp.repeat(nch, TILES_PER_GROUP, axis=0)
-        k0 = jnp.clip(ta // LANES - lo128_t, 0, nch_t)
-        k1 = jnp.clip(-(-tb // LANES) - lo128_t, k0, nch_t)
+        wbase_t = jnp.repeat(wbase, TILES_PER_GROUP, axis=0)[:, None]
+        k0 = ta // LANES - wbase_t
+        k1 = -(-tb // LANES) - wbase_t
+        k1 = jnp.where(tb <= ta, k0, k1)             # truly empty lines
         k1 = jnp.where(tile_is_pad[:, None], k0, k1)
-        # compact nonempty lines to the front so the kernel's line loop
-        # runs exactly tile_counts[t] iterations instead of n_lines
-        empty = (k1 <= k0).astype(jnp.int32)
-        line_idx = jnp.broadcast_to(
-            jnp.arange(n_lines, dtype=jnp.int32)[None, :], k0.shape)
-        _, line_c, k0_c, k1_c = jax.lax.sort(
-            (empty, line_idx, k0, k1), num_keys=1, is_stable=True,
-            dimension=1)
-        counts = jnp.sum(1 - empty, axis=1).astype(jnp.int32)[:, None]
-        tiles = jnp.stack([line_c, k0_c, k1_c], axis=-1).astype(jnp.int32)
-        return out, tiles, counts, clipped
+        # per-line chunk cap: bounds worst-case compute when exploding
+        # scenes pile thousands of particles into wall cells (the analogue
+        # of the reference's 32-slot walk bound, Bucket.compute:30-35)
+        occ_mean = n / float(r * r * r)
+        est = ROWS_PER_TILE + (2 * ex + 2) * occ_mean + LANES
+        line_cap = max(2, int(math.ceil(LINE_FUDGE * est / LANES)))
+        # static-window / line-cap truncation certificate: any live
+        # interval that gets cut marks the frame as not-exact
+        clipped = jnp.sum(
+            (((k1 > w_rows) | (k1 > k0 + line_cap)) & (k1 > k0))
+            .astype(jnp.int32))
+        k1 = jnp.minimum(k1, k0 + line_cap)
+        k0 = jnp.clip(k0, 0, w_rows)
+        k1 = jnp.clip(k1, k0, w_rows)
 
-    ranges_f, tiles_f, counts_f, clip_f = line_ranges(N_LINES_FORCE, 5, E_X)
-    ranges_d, tiles_d, counts_d, clip_d = line_ranges(N_LINES_DENS, 3, 1)
+        # merge overlapping/adjacent intervals (k0 and k1 are nondecreasing
+        # along the line axis since off is increasing and start monotone)
+        hi_cum = jax.lax.cummax(k1, axis=1)
+        hi_excl = jnp.concatenate(
+            [jnp.zeros_like(hi_cum[:, :1]), hi_cum[:, :-1]], axis=1)
+        # a line starts a merged group iff it leaves a gap to everything
+        # before it (k0 == hi_excl is adjacency -> merge); first line always
+        is_new = jnp.concatenate(
+            [jnp.ones_like(k0[:, :1], bool), (k0 > hi_excl)[:, 1:]], axis=1)
+        gid = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+        jidx = jnp.arange(n_lines, dtype=jnp.int32)
+        same = gid[:, :, None] == jidx[None, None, :]      # [T, L, L]
+        big = jnp.int32(1 << 30)
+        k0_m = jnp.min(jnp.where(same, k0[:, :, None], big), axis=1)
+        k1_m = jnp.max(jnp.where(same, k1[:, :, None], -big), axis=1)
+        empty = (k1_m <= k0_m).astype(jnp.int32)
+        k0_m = jnp.where(empty > 0, 0, k0_m)
+        k1_m = jnp.where(empty > 0, 0, k1_m)
+        # compact live intervals to the front (stable on interval order)
+        _, _, k0_c, k1_c = jax.lax.sort(
+            (empty, jnp.broadcast_to(jidx[None, :], k0_m.shape), k0_m, k1_m),
+            num_keys=2, is_stable=False, dimension=1)
+        counts = jnp.sum(1 - empty, axis=1).astype(jnp.int32)[:, None]
+        # interleave to [T, 2L] so the SMEM block stays 2-D (scalar-memory
+        # blocks pad higher-rank windows heavily)
+        tiles = jnp.stack([k0_c, k1_c], axis=-1).astype(jnp.int32)
+        tiles = tiles.reshape(tiles.shape[0], 2 * n_lines)
+        return win, tiles, counts, clipped
+
+    w_f = window_rows(n, r, 2, E_X)
+    w_d = window_rows(n, r, 1, 1)
+    win_f, tiles_f, counts_f, clip_f = line_ranges(N_LINES_FORCE, 5, E_X, w_f)
+    win_d, tiles_d, counts_d, clip_d = line_ranges(N_LINES_DENS, 3, 1, w_d)
 
     frame = SortedFrame(order=order, cid=cid_s, raw=raw_s, occ=occ,
-                        start=start, ranges_f=ranges_f, ranges_d=ranges_d,
+                        start=start, win_f=win_f, win_d=win_d,
                         tiles_f=tiles_f, tiles_d=tiles_d,
                         counts_f=counts_f, counts_d=counts_d,
                         clip_count=(clip_f + clip_d).astype(jnp.int32))
@@ -248,12 +327,13 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
 
 
 def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
-                rho_s: jax.Array, n: int) -> jax.Array:
-    """Sorted SoA -> f32[NB + MAXR, 8, 128] field rows (lane = particle).
+                rho_s: jax.Array, n: int, r: int) -> jax.Array:
+    """Sorted SoA -> f32[fields_rows(n, r), 8, 128] field rows
+    (lane = particle).
 
     cid_enc is the stale flat cell id for bucketed particles, -1 otherwise
-    (reproducing the capacity drop, Bucket.compute:30-35). Trailing MAXR
-    guard rows keep fixed-size DMAs in-bounds.
+    (reproducing the capacity drop, Bucket.compute:30-35). Trailing guard
+    rows keep the fixed-size window DMAs in-bounds.
     """
     npad = padded_n(n)
     # candidates advertise their RAW cell — what the reference's bucket
@@ -272,7 +352,8 @@ def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     # a minor-dim-8 array which XLA relayouts at ~1 GB/s
     fields = jnp.stack(cols, axis=0).reshape(N_FIELDS, npad // LANES, LANES)
     fields = jnp.transpose(fields, (1, 0, 2))             # [NB, 8, 128]
-    guard = jnp.zeros((MAXR, N_FIELDS, LANES), jnp.float32)
+    n_guard = fields_rows(n, r) - npad // LANES
+    guard = jnp.zeros((n_guard, N_FIELDS, LANES), jnp.float32)
     guard = guard.at[:, 3, :].set(-1.0)
     return jnp.concatenate([fields, guard], axis=0)
 
@@ -300,58 +381,55 @@ def pack_rows(pos_s: jax.Array, vel_s: jax.Array, rho_s: jax.Array,
 
 
 def _decode_cell(cid, r: int):
-    """flat id -> (cx, cy, cz) in f32 (exact for cid < 2^24)."""
-    cz = jnp.floor(cid / (r * r))
+    """flat id -> (cx, cy, cz) in f32 (exact for integer cid < 2^22).
+
+    Divisions by a constant lower to multiply-by-reciprocal on the VPU,
+    where e.g. 121 * (1/121) = 0.99999994 floors to 0 — off by a whole
+    cell for exact multiples of r or r². The +0.5 bias makes the
+    reciprocal rounding harmless for integer-valued inputs (the result
+    lands mid-interval, margin 0.5/r² >> ulp).
+    """
+    cz = jnp.floor((cid + 0.5) / (r * r))
     rem = cid - cz * (r * r)
-    cy = jnp.floor(rem / r)
+    cy = jnp.floor((rem + 0.5) / r)
     cx = rem - cy * r
     return cx, cy, cz
 
 
-def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
-                use_ext: bool, ranges_ref, ranges_nxt_ref, tiles_ref,
+def _sph_kernel(n_lines: int, force: bool, r: int,
+                use_ext: bool, w_rows: int, win_ref, win_nxt_ref, tiles_ref,
                 counts_ref, rows_ref, scal_ref, fields_ref, out_ref,
                 scratch, sems):
-    """One group: DMA candidate lines, evaluate row-tiles.
+    """One group: DMA the group's single candidate window, evaluate
+    row-tiles over their merged disjoint chunk intervals.
 
-    Line buffers are double-buffered ACROSS grid steps: group g computes
-    from slot g%2 while the DMAs for group g+1 stream into the other slot
-    (ranges_ref carries two rows — this group's and the next's).
+    The window buffer is double-buffered ACROSS grid steps: group g
+    computes from slot g%2 while the one DMA for group g+1 streams into
+    the other slot (win_ref carries two rows — this group's base and the
+    next's).
     """
     rf = jnp.float32(r)
     g = pl.program_id(0)
     slot = jax.lax.rem(g, 2)
 
-    def _dma(slot_idx, rref, line):
-        lo = rref[0, line, 0]
+    def _dma(slot_idx, wref):
         return pltpu.make_async_copy(
-            fields_ref.at[pl.ds(lo, MAXR)],
-            scratch.at[slot_idx, line],
-            sems.at[slot_idx, line])
+            fields_ref.at[pl.ds(wref[0, 0, 0], w_rows)],
+            scratch.at[slot_idx],
+            sems.at[slot_idx])
 
-    # Prologue: the first group fetches its own lines.
+    # Prologue: the first group fetches its own window.
     @pl.when(g == 0)
     def _():
-        def issue0(line, _):
-            _dma(0, ranges_ref, line).start()
-            return 0
-        jax.lax.fori_loop(0, n_lines, issue0, 0, unroll=False)
+        _dma(0, win_ref).start()
 
-    # Prefetch the NEXT group's lines into the other slot (the ranges
-    # array is padded with a zero row so g == G-1 issues a harmless fetch).
+    # Prefetch the NEXT group's window into the other slot (the win array
+    # is padded with a zero row so g == G-1 issues a harmless fetch).
     @pl.when(g + 1 < pl.num_programs(0))
     def _():
-        def issue_next(line, _):
-            _dma(1 - slot, ranges_nxt_ref, line).start()
-            return 0
-        jax.lax.fori_loop(0, n_lines, issue_next, 0, unroll=False)
+        _dma(1 - slot, win_nxt_ref).start()
 
-    # Wait for this group's lines.
-    def wait_cur(line, _):
-        _dma(slot, ranges_ref, line).wait()
-        return 0
-
-    jax.lax.fori_loop(0, n_lines, wait_cur, 0, unroll=False)
+    _dma(slot, win_ref).wait()
 
     h = scal_ref[0, 0]
     gas_k = scal_ref[0, 1]
@@ -378,10 +456,6 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
         fx = _trunc(rx * (rf - 1.0))
         fy = _trunc(ry * (rf - 1.0))
         fz = _trunc(rz * (rf - 1.0))
-        # stale cell (flat-id decomposition) — the dedup key: a lane counts
-        # in line (dy, dz) only when its cell is exactly (sy+dy, sz+dz),
-        # so overlapping fetched ranges never double-count a candidate.
-        _, sy, sz = _decode_cell(rows[:, 7:8], r)
 
         if force:
             rvx = rows[:, 3:4]
@@ -396,22 +470,20 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
             acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)]
 
         def line_body(i, acc):
-            # compacted per-row-tile line list: (line, k0, k1) triples with
-            # only the tile's own chunks, nonempty entries first
-            line = tiles_ref[rt, i, 0]
-            k0 = tiles_ref[rt, i, 1]
-            k1 = tiles_ref[rt, i, 2]
-            dy = (jax.lax.rem(line, span) - span // 2).astype(jnp.float32)
-            dz = (jax.lax.div(line, span) - span // 2).astype(jnp.float32)
+            # compacted per-row-tile merged intervals: disjoint [k0, k1)
+            # chunk ranges in the group window, live entries first
+            k0 = tiles_ref[rt, 2 * i]
+            k1 = tiles_ref[rt, 2 * i + 1]
 
             def chunk_body(k, acc):
-                blk = scratch[slot, line, k]               # (8, 128) fields
+                blk = scratch[slot, k]                     # (8, 128) fields
                 cxl, cyl, czl = _decode_cell(blk[3:4, :], r)
                 occ = blk[3:4, :] >= 0.0
+                # pure fresh 27-window membership: each candidate appears
+                # exactly once in the single window and the intervals are
+                # disjoint, so no dedup key is needed
                 member = (occ
-                          & (cyl == sy + dy)               # line dedup key
-                          & (czl == sz + dz)
-                          & (jnp.abs(cxl - fx) <= 1.0)     # fresh 27-window
+                          & (jnp.abs(cxl - fx) <= 1.0)
                           & (jnp.abs(cyl - fy) <= 1.0)
                           & (jnp.abs(czl - fz) <= 1.0))
                 gate = member.astype(jnp.float32)
@@ -497,22 +569,22 @@ def _sph_kernel(n_lines: int, span: int, force: bool, r: int,
         out_ref[rt] = outv
 
 
-def _call_kernel(n_lines: int, span: int, force: bool, r: int,
-                 ranges, tiles, counts, rows, scal, fields, *,
+def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
+                 win, tiles, counts, rows, scal, fields, *,
                  use_ext: bool = False):
-    n_groups = ranges.shape[0] - 1
-    kernel = functools.partial(_sph_kernel, n_lines, span, force, r,
-                               use_ext)
+    n_groups = win.shape[0] - 1
+    kernel = functools.partial(_sph_kernel, n_lines, force, r,
+                               use_ext, w_rows)
     return pl.pallas_call(
         kernel,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, n_lines, 2), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            # next group's ranges (for the cross-group DMA prefetch)
-            pl.BlockSpec((1, n_lines, 2), lambda g: (g + 1, 0, 0),
+            # next group's window base (for the cross-group DMA prefetch)
+            pl.BlockSpec((1, 1, 1), lambda g: (g + 1, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILES_PER_GROUP, n_lines, 3), lambda g: (g, 0, 0),
+            pl.BlockSpec((TILES_PER_GROUP, 2 * n_lines), lambda g: (g, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TILES_PER_GROUP, 1), lambda g: (g, 0),
                          memory_space=pltpu.SMEM),
@@ -528,11 +600,11 @@ def _call_kernel(n_lines: int, span: int, force: bool, r: int,
         out_shape=jax.ShapeDtypeStruct(
             (n_groups * TILES_PER_GROUP, ROWS_PER_TILE, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, n_lines, MAXR, N_FIELDS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, n_lines)),
+            pltpu.VMEM((2, w_rows, N_FIELDS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
-    )(ranges, ranges, tiles, counts, rows, scal, fields)
+    )(win, win, tiles, counts, rows, scal, fields)
 
 
 def _scal(phys: PhysParams) -> jax.Array:
@@ -546,11 +618,11 @@ def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
     """rho per sorted particle (Density.compute:32-60 semantics)."""
     zeros3 = jnp.zeros_like(pos_s)
     zeros1 = jnp.zeros(pos_s.shape[0], jnp.float32)
-    fields = pack_fields(frame, pos_s, zeros3, zeros1, n)
+    fields = pack_fields(frame, pos_s, zeros3, zeros1, n, r)
     rows = pack_rows(pos_s, zeros3, zeros1, frame.cid, n)
-    out = _call_kernel(N_LINES_DENS, 3, False, r, frame.ranges_d,
-                       frame.tiles_d, frame.counts_d, rows, _scal(phys),
-                       fields)
+    out = _call_kernel(N_LINES_DENS, False, r, window_rows(n, r, 1, 1),
+                       frame.win_d, frame.tiles_d, frame.counts_d, rows,
+                       _scal(phys), fields)
     w_sum = out[:, :, 0].reshape(-1)[:n]
     return phys.mass * w_sum
 
@@ -569,11 +641,11 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     under-covered).
     """
     use_ext = xsph != 0.0 or alpha_visc != 0.0
-    fields = pack_fields(frame, pos_s, vel_s, rho_s, n)
+    fields = pack_fields(frame, pos_s, vel_s, rho_s, n, r)
     rows = pack_rows(pos_s, vel_s, rho_s, frame.cid, n)
-    out = _call_kernel(N_LINES_FORCE, 5, True, r, frame.ranges_f,
-                       frame.tiles_f, frame.counts_f, rows, _scal(phys),
-                       fields, use_ext=use_ext)
+    out = _call_kernel(N_LINES_FORCE, True, r, window_rows(n, r, 2, E_X),
+                       frame.win_f, frame.tiles_f, frame.counts_f, rows,
+                       _scal(phys), fields, use_ext=use_ext)
     flat = out.reshape(-1, LANES)[:n]
     f_press = flat[:, 0:3]
     f_vis = flat[:, 3:6]
