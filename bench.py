@@ -15,6 +15,8 @@ import traceback
 def main() -> int:
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from sphfluidsimulation_tpu.bench import run_bench
+    from sphfluidsimulation_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
 
     last_err = None
     for n, frames in ((1 << 20, 20), (1 << 18, 20), (1 << 16, 30)):

@@ -95,6 +95,15 @@ def cmd_run(a) -> int:
         save_checkpoint(a.checkpoint, scene.state, scene.cfg,
                         frame=scene.frame)
         print(f"checkpoint → {a.checkpoint}")
+    if a.animate:
+        import glob
+
+        from .render.export import assemble_animation
+        frames = glob.glob(os.path.join(a.export_dir or ".", "frame_*.png"))
+        if frames:
+            print(f"animation → {assemble_animation(frames, a.animate)}")
+        else:
+            print("no exported frames to animate (use --export-dir)")
     last = log.history[-1] if log.history else {}
     print(json.dumps({"frames": scene.frame, **last}))
     return 0
@@ -133,6 +142,13 @@ def cmd_export(a) -> int:
     if a.ply:
         save_ply(a.ply, pos, colors)
         print(f"ply → {a.ply}")
+    if a.ply_mesh:
+        from .render.export import save_instanced_mesh_ply
+        save_instanced_mesh_ply(a.ply_mesh, pos, colors,
+                                sim_scale=cfg.sim_scale,
+                                particle_radius=cfg.particle_radius,
+                                max_particles=a.mesh_max_particles)
+        print(f"instanced mesh ply → {a.ply_mesh}")
     return 0
 
 
@@ -201,6 +217,9 @@ def main(argv=None) -> int:
                    help="JSONL metrics path")
     p.add_argument("--export-dir", type=str, default=None)
     p.add_argument("--export-every", type=int, default=10)
+    p.add_argument("--animate", type=str, default=None,
+                   help="assemble exported frames into a GIF/APNG at this "
+                        "path after the run")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_run)
 
@@ -208,6 +227,10 @@ def main(argv=None) -> int:
     p.add_argument("checkpoint")
     p.add_argument("--png", type=str, default=None)
     p.add_argument("--ply", type=str, default=None)
+    p.add_argument("--ply-mesh", type=str, default=None,
+                   help="octasphere-instanced mesh PLY (the reference's "
+                        "actual per-particle draw)")
+    p.add_argument("--mesh-max-particles", type=int, default=65536)
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("sweep", help="batched multi-scene parameter sweep")
@@ -228,6 +251,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     a = parser.parse_args(argv)
+    from .utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
     return a.fn(a)
 
 

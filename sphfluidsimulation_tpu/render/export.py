@@ -91,6 +91,82 @@ def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
     return img
 
 
+def assemble_animation(frame_paths: list[str], out_path: str, *,
+                       fps: float = 12.0) -> str:
+    """Assemble exported PNG frames into an animation.
+
+    The reference's user-facing output is a continuously drawn fluid
+    (SphFluidSimulation.cs:106-107, one DrawMeshInstancedIndirect per
+    frame); headless TPU runs export stills, and this stitches them into
+    the moving-fluid artifact. GIF via Pillow when available, else an APNG
+    written with the same stdlib-zlib encoder as save_png.
+    """
+    if not frame_paths:
+        raise ValueError("no frames to assemble")
+    try:
+        from PIL import Image
+        frames = [Image.open(p).convert("P", palette=Image.ADAPTIVE)
+                  for p in sorted(frame_paths)]
+        frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                       duration=int(1000 / fps), loop=0)
+        return out_path
+    except ImportError:
+        return _save_apng(sorted(frame_paths), out_path, fps=fps)
+
+
+def _read_png_rgb(path: str) -> np.ndarray:
+    """Minimal reader for PNGs written by save_png (8-bit RGB, one IDAT)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos, idat = 8, b""
+    w = h = 0
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, -1)
+    assert (raw[:, 0] == 0).all(), "only filter-0 PNGs supported"
+    return raw[:, 1:].reshape(h, w, 3)
+
+
+def _save_apng(frame_paths: list[str], out_path: str, *, fps: float) -> str:
+    """Animated PNG via the stdlib encoder (no Pillow needed)."""
+    imgs = [_read_png_rgb(p) for p in frame_paths]
+    h, w, _ = imgs[0].shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    def raw(img):
+        return zlib.compress(np.concatenate(
+            [np.zeros((h, 1), np.uint8), img.reshape(h, -1)], 1).tobytes(), 6)
+
+    delay_num, delay_den = 1, max(1, int(round(fps)))
+    out = [b"\x89PNG\r\n\x1a\n",
+           chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
+           chunk(b"acTL", struct.pack(">II", len(imgs), 0))]
+    seq = 0
+    for i, img in enumerate(imgs):
+        out.append(chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, delay_den, 0, 0)))
+        seq += 1
+        if i == 0:
+            out.append(chunk(b"IDAT", raw(img)))
+        else:
+            out.append(chunk(b"fdAT", struct.pack(">I", seq) + raw(img)))
+            seq += 1
+    out.append(chunk(b"IEND", b""))
+    with open(out_path, "wb") as f:
+        f.write(b"".join(out))
+    return out_path
+
+
 def save_ply(path: str, pos: np.ndarray, colors: np.ndarray | None = None,
              triangles: np.ndarray | None = None, *,
              binary: bool = False) -> None:
@@ -129,3 +205,45 @@ def save_ply(path: str, pos: np.ndarray, colors: np.ndarray | None = None,
         if triangles is not None:
             for t in np.asarray(triangles, np.int64):
                 f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def save_instanced_mesh_ply(path: str, pos_unit: np.ndarray,
+                            colors: np.ndarray | None = None, *,
+                            sim_scale: float = 5.0,
+                            particle_radius: float = 0.01,
+                            subdivisions: int = 1,
+                            max_particles: int = 65536) -> str:
+    """Mesh export instancing the octahedron sphere at every particle.
+
+    This is the reference's actual draw: one octasphere instance per
+    particle (OctahedronSphereCreator.cs:14 built at
+    SphFluidSimulation.cs:162, instanced by SphFluidSimulation.cs:107) with
+    the world TRS of UpdateMeshProperties.compute:34-48 — translation
+    pos·simScale − simScale/2, uniform scale particle_radius·simScale —
+    baked into vertex positions. Colors replicate per instance (the
+    per-instance color buffer of InstancedIndirectColor.shader:30,42).
+
+    ``max_particles`` guards against accidental multi-GB files; pass a
+    larger value deliberately for full-scene meshes.
+    """
+    from .sphere import octahedron_sphere
+
+    pos_unit = np.asarray(pos_unit, np.float32)
+    if len(pos_unit) > max_particles:
+        raise ValueError(
+            f"{len(pos_unit)} particles would instance "
+            f"{len(pos_unit)}×~24 vertices; raise max_particles to allow")
+    mesh = octahedron_sphere(subdivisions, 1.0)
+    v, t = mesh.vertices, np.asarray(mesh.triangles, np.int64)
+    world = pos_unit * sim_scale - sim_scale / 2.0
+    scale = particle_radius * sim_scale
+    verts = (world[:, None, :] + scale * v[None, :, :]).reshape(-1, 3)
+    tris = (t[None, :, :]
+            + (np.arange(len(world), dtype=np.int64)[:, None, None]
+               * len(v))).reshape(-1, 3)
+    cols = None
+    if colors is not None:
+        cols = np.repeat(np.asarray(colors, np.float32)[:, :3], len(v),
+                         axis=0)
+    save_ply(path, verts, cols, tris)
+    return path
