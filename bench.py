@@ -19,9 +19,13 @@ def main() -> int:
     enable_compilation_cache()
 
     last_err = None
-    for n, frames in ((1 << 20, 20), (1 << 18, 20), (1 << 16, 30)):
+    for n, frames, neighbor, kcap in ((1 << 20, 20, "sites", 16),
+                                      (1 << 20, 20, "pallas", None),
+                                      (1 << 18, 20, "sites", 16),
+                                      (1 << 16, 30, "slotted", None)):
         try:
-            result = run_bench(n_particles=n, frames=frames)
+            result = run_bench(n_particles=n, frames=frames,
+                               neighbor=neighbor, site_capacity=kcap)
             print(json.dumps(result))
             return 0
         except Exception as e:  # noqa: BLE001 — must always emit one line

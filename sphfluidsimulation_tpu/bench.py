@@ -24,16 +24,19 @@ from .utils.profiling import device_sync
 NORTH_STAR = 1e9  # particle-substeps/sec/chip @ 1M (BASELINE.json)
 
 
-def scaled_config(n_particles: int) -> SimConfig:
+def scaled_config(n_particles: int,
+                  site_capacity: int | None = None) -> SimConfig:
     """Golden physics at a given N; R scales to preserve voxel occupancy."""
     base_r = 47
     r = max(3, round(base_r * (n_particles / 262144.0) ** (1.0 / 3.0)))
-    return SimConfig(particle_number=n_particles, bucket_resolution=r)
+    kw = {} if site_capacity is None else {"site_capacity": site_capacity}
+    return SimConfig(particle_number=n_particles, bucket_resolution=r, **kw)
 
 
 def run_bench(n_particles: int = 1 << 20, frames: int = 20,
-              warmup_frames: int = 5, neighbor: str = "pallas") -> dict:
-    cfg = scaled_config(n_particles)
+              warmup_frames: int = 5, neighbor: str = "sites",
+              site_capacity: int | None = None) -> dict:
+    cfg = scaled_config(n_particles, site_capacity)
     state = initial_state(cfg)
 
     warm = make_rollout(cfg, warmup_frames, neighbor=neighbor)
@@ -51,6 +54,10 @@ def run_bench(n_particles: int = 1 << 20, frames: int = 20,
     device_sync(out[0].pos)
     elapsed = time.perf_counter() - t0
 
+    import jax.numpy as jnp
+    m = out[1]
+    cert = int(jnp.sum(m.exact_cert))
+    ovf = int(jnp.max(m.overflow))
     rate = cfg.n_particles * cfg.substeps * frames / elapsed
     return {
         "metric": "particle-substeps/sec/chip (dam-break, faithful mode)",
@@ -63,5 +70,8 @@ def run_bench(n_particles: int = 1 << 20, frames: int = 20,
         "elapsed_s": round(elapsed, 3),
         "compile_plus_warmup_s": round(compile_s, 1),
         "neighbor": neighbor,
+        "site_capacity": cfg.site_capacity if neighbor == "sites" else None,
+        "exact_cert_total": cert,   # candidates/sites beyond capacity
+        "overflow_max": ovf,        # bucket-capacity drops (reference quirk)
         "device": str(jax.devices()[0]),
     }

@@ -34,7 +34,7 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--frame-dt", type=float, default=1.0 / 60.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--neighbor",
-                   choices=["pallas", "slotted", "gather", "brute"],
+                   choices=["sites", "pallas", "slotted", "gather", "brute"],
                    default="slotted")
     p.add_argument("--corrected", action="store_true",
                    help="rebuild bucket+density every substep instead of "
@@ -246,7 +246,7 @@ def main(argv=None) -> int:
     p.add_argument("--particles", type=int, default=1048576)
     p.add_argument("--frames", type=int, default=20)
     p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--neighbor", choices=["pallas", "slotted", "gather"],
+    p.add_argument("--neighbor", choices=["sites", "pallas", "slotted", "gather"],
                    default="pallas")
     p.set_defaults(fn=cmd_bench)
 

@@ -91,6 +91,15 @@ class SimConfig:
     # structures are not capacity-shaped; 'slotted'/'gather' allocate static
     # per-voxel slot arrays and raise a ValueError for None (pick a cap).
     voxel_capacity: int | None = REFERENCE_VOXEL_CAPACITY
+    # Site-grid backend (neighbor="sites"): max distinct (position, ρ)
+    # sites per voxel in the dense evaluation/candidate grids. Coincident
+    # particles (the clamp parks fast particles on exactly equal wall/corner
+    # points, VelPos.compute:154) share one site, so this is NOT the voxel
+    # occupancy bound; overflow is counted in StepMetrics.exact_cert. The
+    # default matches the reference's 32-candidates-per-voxel bound
+    # (Bucket.compute:2); throughput configs dial it down (cost scales with
+    # site_capacity² per window cell) and watch the certificate.
+    site_capacity: int = 32
     # Noise seed offset (the reference noise is a pure function of position
     # and particle index; seed shifts the noise-domain offset).
     seed: int = 0

@@ -99,6 +99,8 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
     cfg = cfg.validate()
     if neighbor == "pallas":
         return _make_pallas_step(cfg, faithful=faithful)
+    if neighbor == "sites":
+        return _make_sites_step(cfg, faithful=faithful)
     if neighbor not in ("slotted", "gather", "brute"):
         raise ValueError(f"unknown neighbor backend {neighbor!r}")
     r = cfg.bucket_resolution
@@ -198,6 +200,61 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
         new_state = ParticleState(pos=pos, vel=vel,
                                   nan_count=state.nan_count + nan_hits)
         m = _metrics(new_state, rho, jnp.sum(nan_hits), ovf, phys)
+        return new_state, m
+
+    return step
+
+
+def _make_sites_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
+    """Frame step on the site-grid backend (the round-2 throughput tier).
+
+    Pipeline per frame (ops/sites.py): frame binding (stale bucket
+    membership) → site-grid density (once) → 5 × (site-grid forces +
+    integrate), all per-particle state staying in particle order — the
+    grids are rebuilt per substep from fresh values, which is exactly the
+    reference's fresh-reads-through-stale-lists semantics
+    (VelPos.compute:57-58, 86-94). ``faithful=False`` rebuilds binding and
+    density every substep. StepMetrics.exact_cert counts candidates/sites
+    dropped by the site capacity (SimConfig.site_capacity).
+    """
+    from ..ops import sites
+
+    r = cfg.bucket_resolution
+    cap = cfg.voxel_capacity  # None → truly uncapped bucket membership
+    ki = kj = cfg.site_capacity
+    xsph, alpha = cfg.xsph, cfg.artificial_viscosity
+
+    def frame_aux(pos, phys):
+        stale_cid, in_cap, ovf = sites.frame_binding(pos, r, cap)
+        rho, cert = sites.density_sites(pos, stale_cid, in_cap, phys, r,
+                                        ki, kj)
+        return stale_cid, in_cap, ovf, rho, cert
+
+    def step(state: ParticleState, phys: PhysParams
+             ) -> tuple[ParticleState, StepMetrics]:
+        pos, vel = state.pos, state.vel
+        stale_cid, in_cap, ovf, rho0, cert0 = frame_aux(pos, phys)
+
+        def substep(carry, _):
+            pos, vel, nan_hits, cert, stale_cid, in_cap, rho = carry
+            if not faithful:
+                stale_cid, in_cap, _, rho, cd = frame_aux(pos, phys)
+                cert = cert + cd
+            f, dv, c = sites.fluid_forces_sites(
+                pos, vel, rho, stale_cid, in_cap, phys, r, ki, kj,
+                xsph=xsph, alpha_visc=alpha)
+            pos, vel, nan_mask = integrate_substep(pos, vel, f, phys, dv)
+            return (pos, vel, nan_hits + nan_mask.astype(jnp.int32),
+                    cert + c, stale_cid, in_cap, rho), None
+
+        nan0 = jnp.zeros(pos.shape[0], jnp.int32)
+        (pos, vel, nan_hits, cert, _, _, _), _ = jax.lax.scan(
+            substep, (pos, vel, nan0, cert0, stale_cid, in_cap, rho0),
+            None, length=cfg.substeps)
+        new_state = ParticleState(pos=pos, vel=vel,
+                                  nan_count=state.nan_count + nan_hits)
+        m = _metrics(new_state, rho0, jnp.sum(nan_hits), ovf, phys,
+                     exact_cert=cert)
         return new_state, m
 
     return step

@@ -1,0 +1,216 @@
+"""Site-grid backend equivalence vs the brute-force oracle and the slotted
+backend (SURVEY.md section 4 item 2), plus the site-specific semantics:
+coincident-particle deduplication, capacity certificates, stale-bucket /
+fresh-window reproduction, and the spawn-jitter window escalation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphfluidsimulation_tpu.config import SimConfig
+from sphfluidsimulation_tpu.models.presets import init_positions
+from sphfluidsimulation_tpu.ops import brute, sites
+from sphfluidsimulation_tpu.ops.grid import build_bucket
+from sphfluidsimulation_tpu.params import PhysParams
+from sphfluidsimulation_tpu.sim.stepper import initial_state, make_frame_step
+
+
+def _random_cloud(n, seed, lo=0.0, hi=1.0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(lo, hi, (n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 0.3, (n, 3)), jnp.float32)
+    return pos, vel
+
+
+def _oracle_rho(pos, r, cap, p):
+    bucket, _ = build_bucket(pos, r, cap)
+    return brute.density_bruteforce(pos, bucket.cell_id, bucket.in_table,
+                                    p, r), bucket
+
+
+@pytest.mark.parametrize("n,r,cap", [(512, 9, 32), (1024, 13, 8)])
+def test_density_sites_matches_brute(n, r, cap):
+    cfg = SimConfig(particle_number=n, bucket_resolution=r,
+                    voxel_capacity=cap)
+    p = PhysParams.from_config(cfg)
+    pos, _ = _random_cloud(cfg.n_particles, seed=n)
+    rho_b, _ = _oracle_rho(pos, r, cap, p)
+    cid, in_cap, _ = sites.frame_binding(pos, r, cap)
+    rho_s, cert = sites.density_sites(pos, cid, in_cap, p, r, 16, 16)
+    assert int(cert) == 0
+    np.testing.assert_allclose(np.asarray(rho_s), np.asarray(rho_b),
+                               rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n,r,cap", [(512, 9, 32), (1024, 13, 8)])
+def test_forces_sites_match_brute(n, r, cap):
+    cfg = SimConfig(particle_number=n, bucket_resolution=r,
+                    voxel_capacity=cap)
+    p = PhysParams.from_config(cfg)
+    pos, vel = _random_cloud(cfg.n_particles, seed=n + 7)
+    rho, bucket = _oracle_rho(pos, r, cap, p)
+    f_b = brute.fluid_forces_bruteforce(pos, vel, rho, bucket.cell_id,
+                                        bucket.in_table, p, r)
+    cid, in_cap, _ = sites.frame_binding(pos, r, cap)
+    f_s, dv, cert = sites.fluid_forces_sites(pos, vel, rho, cid, in_cap,
+                                             p, r, 16, 16)
+    assert dv is None and int(cert) == 0
+    scale = np.maximum(np.abs(np.asarray(f_b)).max(), 1e-12)
+    np.testing.assert_allclose(np.asarray(f_s) / scale,
+                               np.asarray(f_b) / scale, atol=3e-6)
+
+
+def test_forces_sites_stale_bucket_fresh_window():
+    # the reference walks the FRAME-START bucket from the CURRENT cell
+    # (VelPos.compute:57-58): move everyone 2 cells, keep the stale binding
+    cfg = SimConfig(particle_number=1024, bucket_resolution=9)
+    p = PhysParams.from_config(cfg)
+    pos, vel = _random_cloud(cfg.n_particles, seed=11)
+    r = 9
+    rho, bucket = _oracle_rho(pos, r, 32, p)
+    pos2 = jnp.clip(pos + 2.0 / 8.0, 0.0, 1.0)
+    f_b = brute.fluid_forces_bruteforce(pos2, vel, rho, bucket.cell_id,
+                                        bucket.in_table, p, r)
+    cid, in_cap, _ = sites.frame_binding(pos, r, 32)
+    f_s, _, cert = sites.fluid_forces_sites(pos2, vel, rho, cid, in_cap,
+                                            p, r, 16, 16)
+    assert int(cert) == 0
+    scale = np.maximum(np.abs(np.asarray(f_b)).max(), 1e-12)
+    np.testing.assert_allclose(np.asarray(f_s) / scale,
+                               np.asarray(f_b) / scale, atol=3e-6)
+
+
+def test_spawn_jitter_escalation():
+    # preset spawns overshoot the unit cube before the first clamp; the
+    # i-grid clamps the cell and widens the window (δ path) — results must
+    # still match the oracle exactly, with a zero certificate
+    cfg = SimConfig(particle_number=1024, bucket_resolution=11, preset=1)
+    p = PhysParams.from_config(cfg)
+    pos = init_positions(cfg)
+    assert float(jnp.min(pos)) < 0.0 or float(jnp.max(pos)) > 1.0
+    vel = jnp.zeros_like(pos)
+    r = cfg.bucket_resolution
+    rho, bucket = _oracle_rho(pos, r, 32, p)
+    cid, in_cap, _ = sites.frame_binding(pos, r, 32)
+    rho_s, cert_d = sites.density_sites(pos, cid, in_cap, p, r, 16, 16)
+    np.testing.assert_allclose(np.asarray(rho_s), np.asarray(rho),
+                               rtol=2e-5, atol=1e-6)
+    f_b = brute.fluid_forces_bruteforce(pos, vel, rho, bucket.cell_id,
+                                        bucket.in_table, p, r)
+    f_s, _, cert = sites.fluid_forces_sites(pos, vel, rho, cid, in_cap,
+                                            p, r, 16, 16)
+    assert int(cert_d) == 0 and int(cert) == 0
+    scale = np.maximum(np.abs(np.asarray(f_b)).max(), 1e-12)
+    np.testing.assert_allclose(np.asarray(f_s) / scale,
+                               np.asarray(f_b) / scale, atol=3e-6)
+
+
+def test_coincident_pile_dedup():
+    # thousands of particles parked on one point (the clamp's wall pile,
+    # VelPos.compute:154) collapse to ONE site: a tiny site capacity still
+    # certifies exact, and results match the brute oracle which sees every
+    # particle individually (capacity-uncapped so nothing is dropped)
+    n = 1024
+    rng = np.random.default_rng(0)
+    pile = np.repeat([[0.5, 0.125, 0.5]], 900, axis=0)
+    rest = rng.uniform(0, 1, (n - 900, 3))
+    pos = jnp.asarray(np.concatenate([pile, rest]), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 0.2, (n, 3)), jnp.float32)
+    r = 9
+    cfg = SimConfig(particle_number=n, bucket_resolution=r,
+                    voxel_capacity=None)
+    p = PhysParams.from_config(cfg)
+    bucket, _ = build_bucket(pos, r, None)
+    rho = brute.density_bruteforce(pos, bucket.cell_id, bucket.in_table,
+                                   p, r)
+    f_b = brute.fluid_forces_bruteforce(pos, vel, rho, bucket.cell_id,
+                                        bucket.in_table, p, r)
+    cid, in_cap, ovf = sites.frame_binding(pos, r, None)
+    assert int(ovf) == 0
+    rho_s, cert_d = sites.density_sites(pos, cid, in_cap, p, r, 8, 8)
+    f_s, _, cert = sites.fluid_forces_sites(pos, vel, rho, cid, in_cap,
+                                            p, r, 8, 8)
+    assert int(cert_d) == 0 and int(cert) == 0
+    np.testing.assert_allclose(np.asarray(rho_s), np.asarray(rho),
+                               rtol=2e-4, atol=1e-5)
+    scale = np.maximum(np.abs(np.asarray(f_b)).max(), 1e-12)
+    np.testing.assert_allclose(np.asarray(f_s) / scale,
+                               np.asarray(f_b) / scale, atol=1e-5)
+
+
+def test_site_capacity_certificate_fires():
+    # more distinct positions per voxel than site slots → loud certificate
+    n = 256
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(0.45, 0.55, (n, 3)), jnp.float32)
+    r = 5
+    cfg = SimConfig(particle_number=n, bucket_resolution=r)
+    p = PhysParams.from_config(cfg)
+    cid, in_cap, _ = sites.frame_binding(pos, r, 32)
+    _, cert = sites.density_sites(pos, cid, in_cap, p, r, 2, 2)
+    assert int(cert) > 0
+
+
+def test_sites_step_matches_brute_and_slotted():
+    cfg = SimConfig(particle_number=1024, bucket_resolution=11,
+                    site_capacity=16)
+    st = initial_state(cfg)
+    outs = {}
+    for nb in ("sites", "slotted", "brute"):
+        s, m = jax.jit(make_frame_step(cfg, neighbor=nb))(st)
+        outs[nb] = (np.asarray(s.pos), float(m.mean_density),
+                    int(m.overflow), int(m.exact_cert))
+    assert outs["sites"][3] == 0
+    np.testing.assert_allclose(outs["sites"][0], outs["brute"][0], atol=1e-5)
+    np.testing.assert_allclose(outs["sites"][0], outs["slotted"][0],
+                               atol=1e-5)
+    assert outs["sites"][1] == pytest.approx(outs["brute"][1], rel=1e-5)
+    assert outs["sites"][2] == outs["brute"][2]
+
+
+def test_sites_rollout_tracks_slotted():
+    from sphfluidsimulation_tpu.sim.stepper import make_rollout
+    # gentler EOS and timestep so float divergence stays visible; corner
+    # cells still reach ~22 distinct positions, inside the default
+    # site_capacity=32 → certificate must stay zero
+    cfg = SimConfig(particle_number=1024, bucket_resolution=9,
+                    gas_constant=5.0, frame_dt=1.0 / 600.0,
+                    site_capacity=24)
+    st = initial_state(cfg)
+    f_a, m_a = make_rollout(cfg, 5, neighbor="sites")(st)
+    f_b, m_b = make_rollout(cfg, 5, neighbor="slotted")(st)
+    assert int(jnp.sum(m_a.exact_cert)) == 0
+    np.testing.assert_allclose(np.asarray(f_a.pos), np.asarray(f_b.pos),
+                               atol=5e-4)
+
+
+def test_sites_corrected_mode_matches_brute():
+    cfg = SimConfig(particle_number=512, bucket_resolution=9,
+                    site_capacity=16)
+    st = initial_state(cfg)
+    s_a, _ = jax.jit(make_frame_step(cfg, neighbor="sites",
+                                     faithful=False))(st)
+    s_b, _ = jax.jit(make_frame_step(cfg, neighbor="brute",
+                                     faithful=False))(st)
+    np.testing.assert_allclose(np.asarray(s_a.pos), np.asarray(s_b.pos),
+                               atol=1e-5)
+
+
+def test_sites_extensions_match_slotted():
+    # avisc extends the site key with velocity → more distinct sites/voxel
+    cfg = SimConfig(particle_number=1024, bucket_resolution=11,
+                    xsph=0.05, artificial_viscosity=0.2, site_capacity=32)
+    st = initial_state(cfg)
+    s_a, m_a = jax.jit(make_frame_step(cfg, neighbor="sites"))(st)
+    s_b, _ = jax.jit(make_frame_step(cfg, neighbor="slotted"))(st)
+    assert int(m_a.exact_cert) == 0
+    np.testing.assert_allclose(np.asarray(s_a.pos), np.asarray(s_b.pos),
+                               atol=1e-5)
+
+
+def test_uncapped_binding():
+    # voxel_capacity=None: nothing dropped from the bucket, in-range only
+    pos, _ = _random_cloud(2048, seed=1, lo=0.48, hi=0.52)  # ultra dense
+    cid, in_cap, ovf = sites.frame_binding(pos, 9, None)
+    assert int(ovf) == 0 and bool(jnp.all(in_cap))
