@@ -182,22 +182,28 @@ def _site_slots(keys: list[jax.Array], cid: jax.Array, n: int, s: int,
 def build_j_sites(stale_cid: jax.Array, in_cap: jax.Array, pos: jax.Array,
                   vel: jax.Array | None, rho: jax.Array | None, r: int,
                   kj: int, p: PhysParams, *, xsph: bool = False,
-                  avisc: bool = False) -> JSites:
+                  avisc: bool = False, grid_s: int | None = None,
+                  member: jax.Array | None = None) -> JSites:
     """The stale bucket re-expressed with fresh values, as sites.
 
     Site key: (stale flat cell, fresh position[, stale ρ][, fresh vel when
     avisc]); only ``in_cap`` members count toward multiplicity and velocity
     sums (the reference's ≤32 candidates per voxel, VelPos.compute:77-81).
     ``rho=None`` builds the position-only grid for the density pass.
+
+    ``grid_s``/``member`` support slab-local grids (parallel/slab.py):
+    ``stale_cid`` is then slab-local, the grid spans ``grid_s`` cells, and
+    ``member`` masks the rows allowed to occupy sites (owned + valid); rows
+    outside it neither hold slots nor count toward the certificate.
     """
     n = pos.shape[0]
-    s = r * r * r
+    s = grid_s if grid_s is not None else r * r * r
     keys = [pos[:, 0], pos[:, 1], pos[:, 2]]
     if rho is not None:
         keys.append(rho)
     if avisc:
         keys += [vel[:, 0], vel[:, 1], vel[:, 2]]
-    slot, order = _site_slots(keys, stale_cid, n, s, kj, None)
+    slot, order = _site_slots(keys, stale_cid, n, s, kj, member)
 
     w = in_cap[order].astype(jnp.float32)
 
@@ -288,15 +294,18 @@ def _pad(arr: jax.Array, pad: int, fill: float) -> jax.Array:
     return jnp.pad(arr, ((0, 0), (pad, pad)), constant_values=fill)
 
 
-def _cell_coords(r: int, s: int):
+def _cell_coords(r: int, s: int, zbase=0):
+    """Global (x, y, z) coordinates of the flat ids [0, s). ``zbase`` maps a
+    slab-local grid back to global z (it may be a traced scalar inside
+    shard_map); ``s`` need not be r³ — any whole number of z-planes works."""
     c = lax.iota(jnp.int32, s)
-    return c % r, (c // r) % r, c // (r * r)
+    return c % r, (c // r) % r, c // (r * r) + zbase
 
 
-def _gate(r: int, s: int, oz, oy: int, ox: int, delta):
+def _gate(r: int, s: int, oz, oy: int, ox: int, delta, zbase=0):
     """Bounds check (Density.compute:46) and — when a nonzero δ exists —
     fresh-window membership |off − δ| ≤ 1 (VelPos.compute:57-58). f32."""
-    cx, cy, cz = _cell_coords(r, s)
+    cx, cy, cz = _cell_coords(r, s, zbase)
     b = ((cx + ox >= 0) & (cx + ox < r) & (cy + oy >= 0) & (cy + oy < r)
          & (cz + oz >= 0) & (cz + oz < r))[None, :]
     if delta is not None:
@@ -356,9 +365,10 @@ def _window_scan(jarrs: list[jax.Array], r: int, s: int, w: int,
     return acc
 
 
-def make_density_pass(r: int, s: int, w: int):
+def make_density_pass(r: int, s: int, w: int, zbase=0):
     """ρ per i-site (Density.compute:32-60; self term included via the
-    site's own multiplicity at offset 0)."""
+    site's own multiplicity at offset 0). ``s``/``zbase`` may describe a
+    slab-local grid (parallel/slab.py)."""
 
     def run(i: ISites, j: JSites, p: PhysParams):
         h2, h9 = p.h * p.h, p.h ** 9
@@ -375,7 +385,7 @@ def make_density_pass(r: int, s: int, w: int):
             diff = h2 - (dx * dx + dy * dy + dz * dz)
             wk = jnp.where(diff > 0, diff * diff * diff, 0.0)
             return acc + (jnp.sum(wk * jsl[3][None], axis=1)
-                          * _gate(r, s, oz, oy, ox, delta))
+                          * _gate(r, s, oz, oy, ox, delta, zbase))
 
         acc0 = jnp.zeros((ki, s), jnp.float32)
         # j arrays: pos(3), mult (rides JSites.a in the rho=None build)
@@ -388,7 +398,7 @@ def make_density_pass(r: int, s: int, w: int):
 
 
 def make_force_pass(r: int, s: int, w: int, *, xsph: float = 0.0,
-                    alpha_visc: float = 0.0):
+                    alpha_visc: float = 0.0, zbase=0):
     """Per-i-site force field sums (VelPos.compute:49-105) + extensions.
 
     Accumulates, per i-site:
@@ -448,7 +458,7 @@ def make_force_pass(r: int, s: int, w: int, *, xsph: float = 0.0,
             safe = jnp.where(valid, abs_r, 1.0)
             gwp = jnp.where(valid, (diff * diff * diff) / safe, 0.0)
             gwv = jnp.where(abs_r < p.h, diff, 0.0)
-            g = _gate(r, s, oz, oy, ox, delta)
+            g = _gate(r, s, oz, oy, ox, delta, zbase)
             pa = gwp * jf["a"]
             pb = gwp * jf["bp"]
             out = dict(acc)
