@@ -277,10 +277,52 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
     n = cfg.n_particles
     cap = cfg.voxel_capacity  # None -> no capacity drop (exactly uncapped)
     xsph, alpha = cfg.xsph, cfg.artificial_viscosity
+
     if not faithful:
-        raise NotImplementedError(
-            "the pallas backend implements the reference's faithful frame "
-            "semantics only (bucket+density once per frame)")
+        # Physically-corrected mode: rebuild the sorted frame and the
+        # density field every substep (the analogue of make_param_step's
+        # ``faithful=False`` branch). State stays in caller order between
+        # substeps; each substep sorts, computes, and unsorts.
+        def step(state: ParticleState, phys: PhysParams
+                 ) -> tuple[ParticleState, StepMetrics]:
+            def substep(carry, _):
+                pos, vel, nan_hits, cert = carry
+                frame, (pos_s, vel_s) = pallas_sph.build_frame(
+                    pos, r, cap, extras=(pos, vel))
+                rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n)
+                f, dv, d = pallas_sph.forces_pallas(
+                    frame, pos_s, vel_s, rho_s, phys, r, n, xsph=xsph,
+                    alpha_visc=alpha)
+                pos_s, vel_s, nan_mask = integrate_substep(pos_s, vel_s, f,
+                                                           phys, dv)
+                pos = jnp.zeros_like(pos_s).at[frame.order].set(pos_s)
+                vel = jnp.zeros_like(vel_s).at[frame.order].set(vel_s)
+                nan_u = (jnp.zeros(n, jnp.int32).at[frame.order]
+                         .set(nan_mask.astype(jnp.int32)))
+                return (pos, vel, nan_hits + nan_u,
+                        cert + d + frame.clip_count), None
+
+            # frame-start aux for the overflow/density metrics (the
+            # corrected branch of make_param_step reports these from the
+            # pre-substep state too)
+            frame0, (pos0_s,) = pallas_sph.build_frame(
+                state.pos, r, cap, extras=(state.pos,))
+            rho0_s = pallas_sph.density_pallas(frame0, pos0_s, phys, r, n)
+            ovf = jnp.sum(~frame0.occ).astype(jnp.int32)
+            rho_metric = (jnp.zeros(n, jnp.float32).at[frame0.order]
+                          .set(rho0_s))
+
+            nan0 = jnp.zeros(n, jnp.int32)
+            (pos, vel, nan_hits, cert), _ = jax.lax.scan(
+                substep, (state.pos, state.vel, nan0, jnp.int32(0)), None,
+                length=cfg.substeps)
+            new_state = ParticleState(pos=pos, vel=vel,
+                                      nan_count=state.nan_count + nan_hits)
+            return new_state, _metrics(new_state, rho_metric,
+                                       jnp.sum(nan_hits), ovf, phys,
+                                       exact_cert=cert)
+
+        return step
 
     def step(state: ParticleState, phys: PhysParams
              ) -> tuple[ParticleState, StepMetrics]:

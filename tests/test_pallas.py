@@ -131,3 +131,22 @@ def test_voxel_capacity_none_raises_on_slot_backends():
     for nb in ("slotted", "gather"):
         with pytest.raises(ValueError):
             make_frame_step(cfg, neighbor=nb)
+
+
+def test_corrected_mode_matches_slotted():
+    """faithful=False rebuilds frame+density per substep; on a calm config
+    the pallas and slotted corrected trajectories must agree."""
+    st = initial_state(CALM)
+    pstep = jax.jit(make_frame_step(CALM, neighbor="pallas",
+                                    faithful=False))
+    sstep = jax.jit(make_frame_step(CALM, neighbor="slotted",
+                                    faithful=False))
+    sp, ss = st, st
+    for _ in range(3):
+        sp, mp = pstep(sp)
+        ss, ms = sstep(ss)
+    assert _cert(mp) == 0
+    np.testing.assert_allclose(np.asarray(sp.pos), np.asarray(ss.pos),
+                               atol=2e-6)
+    assert float(mp.mean_density) == pytest.approx(
+        float(ms.mean_density), rel=1e-5)
