@@ -9,7 +9,23 @@ worker has limited memory/stability), and always prints a single JSON line.
 
 import json
 import sys
+import time
 import traceback
+
+
+def _wait_tpu_recovery(max_wait: float = 420.0) -> None:
+    """After a 'TPU worker process crashed', the tunnel needs minutes to
+    recover; retry a trivial dispatch until the device answers."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        try:
+            float(jnp.sum(jnp.ones(8)))
+            return
+        except Exception:  # noqa: BLE001
+            time.sleep(30)
 
 
 def main() -> int:
@@ -31,6 +47,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — must always emit one line
             last_err = f"{type(e).__name__}: {e}"
             traceback.print_exc(file=sys.stderr)
+            _wait_tpu_recovery()
 
     print(json.dumps({
         "metric": "particle-substeps/sec/chip (dam-break, faithful mode)",

@@ -1,0 +1,95 @@
+"""1000-step cross-backend fidelity evidence on the real TPU (VERDICT #5).
+
+Part A — calm config, 1024 particles: brute oracle vs slotted/pallas/sites,
+RMSE at frames {1, 10, 100, 1000}; the calm regime keeps per-frame drift
+within every backend's exact envelope, so tracking is provable (certs 0).
+
+Part B — golden dam-break, 262144 particles: slotted is the pinned
+reference (brute is O(N²)-infeasible at this N; slotted is brute-validated
+at small N by tests/test_equivalence.py), vs sites and pallas.
+
+Emits one JSON line per (part, backend) with the RMSE ladder and
+certificate totals; saves the calm-config 1024 pin to tests/data/.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+CHECKPOINTS = (1, 10, 100, 1000)
+
+
+def rollout_checkpoints(cfg, neighbor, state):
+    import jax
+    import jax.numpy as jnp
+    from sphfluidsimulation_tpu.sim.stepper import make_rollout
+
+    out, cert, ovf, nan = {}, 0, 0, 0
+    done = 0
+    for upto in CHECKPOINTS:
+        k = upto - done
+        roll = make_rollout(cfg, k, neighbor=neighbor)
+        state, m = roll(state)
+        jax.block_until_ready(state.pos)
+        cert += int(jnp.sum(m.exact_cert))
+        ovf = max(ovf, int(jnp.max(m.overflow)))
+        nan += int(jnp.sum(m.nan_events))
+        out[upto] = state.pos
+        done = upto
+    return out, {"cert": cert, "ovf_max": ovf, "nan": nan}
+
+
+def rmse(a, b):
+    import jax.numpy as jnp
+    return float(jnp.sqrt(jnp.mean((a - b) ** 2)))
+
+
+def main():
+    import numpy as np
+    from sphfluidsimulation_tpu.config import SimConfig
+    from sphfluidsimulation_tpu.sim.stepper import initial_state
+    from sphfluidsimulation_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    # ---- Part A: calm 1024, brute oracle
+    calm = SimConfig(particle_number=1024, bucket_resolution=11, preset=0,
+                     gas_constant=20.0, rest_density=1.7, viscosity=0.05,
+                     stiffness_coefficient=1000.0, frame_dt=1 / 240)
+    st = initial_state(calm)
+    ref, stats = rollout_checkpoints(calm, "brute", st)
+    print(json.dumps({"part": "calm1024", "backend": "brute",
+                      **stats}), flush=True)
+    np.savez("/root/repo/tests/data/calm1024_pin_r2.npz",
+             **{f"f{k}": np.asarray(v) for k, v in ref.items()})
+    for nb in ("slotted", "pallas", "sites"):
+        t0 = time.time()
+        got, stats = rollout_checkpoints(calm, nb, st)
+        print(json.dumps({
+            "part": "calm1024", "backend": nb,
+            "rmse": {str(k): rmse(got[k], ref[k]) for k in CHECKPOINTS},
+            **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
+
+    # ---- Part B: golden 262k, slotted pin
+    golden = SimConfig(particle_number=262144, bucket_resolution=47,
+                       site_capacity=24)
+    st = initial_state(golden)
+    t0 = time.time()
+    ref, stats = rollout_checkpoints(golden, "slotted", st)
+    print(json.dumps({"part": "golden262k", "backend": "slotted(pin)",
+                      **stats, "wall_s": round(time.time() - t0, 1)}),
+          flush=True)
+    np.savez("/tmp/golden262k_pin_r2.npz",
+             **{f"f{k}": np.asarray(v) for k, v in ref.items()})
+    for nb in ("sites", "pallas"):
+        t0 = time.time()
+        got, stats = rollout_checkpoints(golden, nb, st)
+        print(json.dumps({
+            "part": "golden262k", "backend": nb,
+            "rmse": {str(k): rmse(got[k], ref[k]) for k in CHECKPOINTS},
+            **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,3 +63,26 @@ def test_pallas_tracks_golden_early_frames(golden):
     err = np.abs(got["pos_1"] - golden["pos_1"]).max(axis=1)
     assert np.median(err) < 1e-6
     assert np.mean(err < 1e-5) >= 0.99
+
+
+def test_sites_tracks_golden_full_tolerance():
+    """VERDICT #3 resolution: the round-2 throughput tier (sites) centers
+    every evaluation window on the FRESH cell by construction, so unlike
+    pallas there is no drift degradation on the explosive golden config —
+    every particle must track, certificate must stay 0."""
+    step = jax.jit(make_frame_step(CFG, neighbor="sites"))
+    s = initial_state(CFG)
+    certs = 0
+    out = {}
+    for f in range(1, 6):
+        s, m = step(s)
+        certs += int(m.exact_cert)
+        if f in (1, 5):
+            out[f"pos_{f}"] = np.asarray(s.pos)
+    with np.load(DATA) as z:
+        golden = {k: z[k] for k in ("pos_1", "pos_5")}
+    assert certs == 0
+    err1 = np.abs(out["pos_1"] - golden["pos_1"]).max()
+    assert err1 < 1e-5            # every particle, not 99%
+    rmse5 = np.sqrt(np.mean((out["pos_5"] - golden["pos_5"]) ** 2))
+    assert rmse5 < 1e-3           # chaotic amplification bound
