@@ -512,3 +512,22 @@ def collect(st: SlabState, n: int) -> tuple[ParticleState, int]:
     nan[pid] = np.asarray(st.nan_count)[valid]
     return (ParticleState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
                           nan_count=jnp.asarray(nan)), n - pid.size)
+
+
+def make_slab_rollout(cfg: SimConfig, mesh: Mesh, n_frames: int, *,
+                      axis: str = "sp", halo: int = 2,
+                      row_slack: float = 2.0, hops: int | None = None):
+    """Jitted ``(SlabState, phys) → (SlabState, metrics)`` over ``n_frames``
+    frames via lax.scan — one device dispatch per rollout, the slab
+    analogue of sim.stepper.make_rollout."""
+    step, spec = make_slab_step(cfg, mesh, axis=axis, halo=halo,
+                                row_slack=row_slack, hops=hops)
+
+    @jax.jit
+    def rollout(st: SlabState, phys: PhysParams):
+        def body(carry, _):
+            st2, m = step(carry, phys)
+            return st2, m
+        return lax.scan(body, st, None, length=n_frames)
+
+    return rollout, spec
