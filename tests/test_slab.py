@@ -142,3 +142,22 @@ def test_batched_slab_dp_sp():
                                    np.asarray(s_ref.pos), atol=2e-6)
         assert float(m.mean_density[i]) == pytest.approx(
             float(m_ref.mean_density), rel=1e-5)
+
+
+def test_slab_extensions_match_single_device():
+    """XSPH + artificial viscosity ride the same j-field stack through the
+    halo exchange; the sharded step must match single-device sites."""
+    cfg = _calm_cfg(xsph=0.1, artificial_viscosity=0.2)
+    mesh = _mesh((4,), ("sp",))
+    phys = PhysParams.from_config(cfg)
+    st = _calm_state(cfg, seed=11)
+
+    ref_step = jax.jit(make_frame_step(cfg, neighbor="sites"))
+    step, spec = slab.make_slab_step(cfg, mesh)
+    s_ref, _ = ref_step(st)
+    sst = slab.distribute(st, cfg, spec, mesh)
+    sst, m = jax.jit(step)(sst, phys)
+    out, lost = slab.collect(sst, cfg.n_particles)
+    assert lost == 0 and int(m.exact_cert) == 0
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(s_ref.pos),
+                               atol=2e-6)
