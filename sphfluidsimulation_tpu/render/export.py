@@ -51,8 +51,15 @@ def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
     cam = camera or OrbitCamera(distance=8.0, yaw=30.0, pitch=20.0)
     world = np.asarray(pos_unit, np.float32) * sim_scale - sim_scale / 2.0
     xy, z = cam.project(world, width, height)
-    rgb8 = (np.clip(np.asarray(colors, np.float32)[:, :3], 0, 1)
-            * 255).astype(np.uint8)
+    colors = np.asarray(colors, np.float32)
+    rgb8 = (np.clip(colors[:, :3], 0, 1) * 255).astype(np.uint8)
+    # SrcAlpha/OneMinusSrcAlpha compositing (shader:6): the reference's
+    # colors carry constant alpha 1 (UpdateMeshProperties.compute:63), for
+    # which the blend degenerates to the opaque painter overwrite below —
+    # translucent alphas take the compositing path.
+    alpha = (np.clip(colors[:, 3], 0.0, 1.0)
+             if colors.shape[1] > 3 else np.ones(len(colors), np.float32))
+    translucent = bool((alpha < 1.0).any())
 
     img = np.empty((height, width, 3), np.uint8)
     img[:] = np.asarray(background, np.uint8)
@@ -63,22 +70,24 @@ def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
 
     # native rasterizer (sphfluidsimulation_tpu/native) when available —
     # the numpy path below is the behavioral reference and fallback
-    from ..native.build import splat_points_native
-    if splat_points_native(xy, z, r_px, rgb8, img) is not None:
-        return img
+    if not translucent:
+        from ..native.build import splat_points_native
+        if splat_points_native(xy, z, r_px, rgb8, img) is not None:
+            return img
 
-    order = np.argsort(-z)  # far → near
-    order = order[visible[order]]
+    order = np.argsort(-z)  # far → near (the unsorted ZWrite-off blend
+    order = order[visible[order]]       # ≈ painter's order)
 
     xs = np.round(xy[order, 0]).astype(np.int64)
     ys = np.round(xy[order, 1]).astype(np.int64)
     rs = np.clip(np.round(r_px[order]).astype(np.int64), 1, 16)
     cs = rgb8[order]
+    al = alpha[order]
 
-    # Splat as filled squares bucketed by radius (vectorized per radius).
+    # Splat as filled discs bucketed by radius (vectorized per radius).
     for radius in np.unique(rs):
         sel = rs == radius
-        x0, y0, c0 = xs[sel], ys[sel], cs[sel]
+        x0, y0, c0, a0 = xs[sel], ys[sel], cs[sel], al[sel]
         d = np.arange(-radius + 1, radius)
         dx, dy = np.meshgrid(d, d, indexing="ij")
         disc = (dx * dx + dy * dy) <= radius * radius
@@ -87,7 +96,16 @@ def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
         py = (y0[:, None] + dy[None, :]).ravel()
         pc = np.repeat(c0, len(dx), axis=0)
         ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
-        img[py[ok], px[ok]] = pc[ok]
+        if translucent:
+            pa = np.repeat(a0, len(dx))[ok, None]
+            # sequential src-over within the bucket: python loop only over
+            # DISTINCT depth ranks would be exact; per-bucket vectorized
+            # compositing is the documented approximation
+            base = img[py[ok], px[ok]].astype(np.float32)
+            img[py[ok], px[ok]] = (pc[ok] * pa + base * (1.0 - pa)
+                                   ).astype(np.uint8)
+        else:
+            img[py[ok], px[ok]] = pc[ok]
     return img
 
 

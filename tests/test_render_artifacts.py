@@ -84,3 +84,23 @@ def test_cli_export_mesh(tmp_path):
     mesh = str(tmp_path / "mesh.ply")
     assert main(["export", ck, "--ply-mesh", mesh]) == 0
     assert os.path.exists(mesh)
+
+
+def test_alpha_blended_splat(tmp_path):
+    """Translucent colors composite (SrcAlpha/OneMinusSrcAlpha,
+    InstancedIndirectColor.shader:6): a half-alpha particle over the
+    background must land strictly between both colors."""
+    import numpy as np
+    from sphfluidsimulation_tpu.render.export import render_frame_png
+
+    pos = np.array([[0.5, 0.5, 0.5]], np.float32)
+    col = np.array([[1.0, 0.0, 0.0, 0.5]], np.float32)
+    img = render_frame_png(pos, col, width=64, height=64,
+                           particle_radius=0.05, background=(0, 0, 0))
+    reds = img[..., 0][img[..., 0] > 0]
+    assert reds.size > 0
+    assert 100 <= int(reds.max()) <= 140  # ~127 = 0.5 * 255 over black
+    # opaque alpha must reproduce the plain painter path exactly
+    img_opaque = render_frame_png(pos, col[:, :3], width=64, height=64,
+                                  particle_radius=0.05, background=(0, 0, 0))
+    assert int(img_opaque[..., 0].max()) == 255
