@@ -43,6 +43,9 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                    help="XSPH advection-smoothing epsilon (0 disables)")
     p.add_argument("--alpha-visc", type=float, default=0.0,
                    help="Monaghan artificial-viscosity alpha (0 disables)")
+    p.add_argument("--site-capacity", type=int, default=32,
+                   help="distinct (position[,rho,v]) sites per voxel for "
+                        "the 'sites' backend (overflow is certified)")
 
 
 def _config_from_args(a) -> "SimConfig":
@@ -55,6 +58,7 @@ def _config_from_args(a) -> "SimConfig":
         damping_coefficient=a.damping, particle_radius=a.particle_radius,
         low_speed=a.low_speed, high_speed=a.high_speed, frame_dt=a.frame_dt,
         seed=a.seed, xsph=a.xsph, artificial_viscosity=a.alpha_visc,
+        site_capacity=a.site_capacity,
     ).validate()
 
 
@@ -63,6 +67,8 @@ def cmd_run(a) -> int:
     from .utils.checkpoint import load_checkpoint, save_checkpoint
     from .utils.metrics import MetricsLogger
 
+    if getattr(a, "shards", 1) > 1:
+        return _run_slab(a)
     if a.resume:
         state, cfg, meta = load_checkpoint(a.resume)
         scene = Scene(cfg, neighbor=a.neighbor, faithful=not a.corrected)
@@ -106,6 +112,54 @@ def cmd_run(a) -> int:
             print("no exported frames to animate (use --export-dir)")
     last = log.history[-1] if log.history else {}
     print(json.dumps({"frames": scene.frame, **last}))
+    return 0
+
+
+def _run_slab(a) -> int:
+    """Multi-device run over the slab decomposition (parallel/slab.py).
+
+    Requires >= --shards devices (real chips, or virtual CPU devices via
+    XLA_FLAGS=--xla_force_host_platform_device_count=N).
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from .parallel import slab
+    from .params import PhysParams
+    from .sim.stepper import initial_state
+    from .utils.metrics import MetricsLogger
+
+    devs = jax.devices()
+    if len(devs) < a.shards:
+        print(f"need {a.shards} devices, have {len(devs)}; for a virtual "
+              "mesh set XLA_FLAGS=--xla_force_host_platform_device_count="
+              f"{a.shards} JAX_PLATFORMS=cpu", file=sys.stderr)
+        return 2
+    cfg = _config_from_args(a)
+    mesh = Mesh(np.array(devs[:a.shards]), ("sp",))
+    step, spec = slab.make_slab_step(cfg, mesh, halo=a.halo,
+                                     row_slack=a.row_slack)
+    step = jax.jit(step)
+    phys = PhysParams.from_config(cfg)
+    sst = slab.distribute(initial_state(cfg), cfg, spec, mesh)
+    log = MetricsLogger(a.metrics, n_particles=cfg.n_particles,
+                        substeps=cfg.substeps)
+    for f in range(1, a.frames + 1):
+        sst, m = step(sst, phys)
+        rec = log.log(f, m)
+        if a.verbose:
+            print(json.dumps(rec))
+    out, lost = slab.collect(sst, cfg.n_particles)
+    if a.checkpoint:
+        from .utils.checkpoint import save_checkpoint
+        save_checkpoint(a.checkpoint, out, cfg, frame=a.frames)
+        print(f"checkpoint → {a.checkpoint}")
+    last = log.history[-1] if log.history else {}
+    print(json.dumps({"frames": a.frames, "shards": a.shards,
+                      "slab_z": spec.slab_z, "halo": spec.halo,
+                      "rows_per_device": spec.cap_rows,
+                      "lost": int(lost), **last}))
     return 0
 
 
@@ -221,6 +275,13 @@ def main(argv=None) -> int:
                    help="assemble exported frames into a GIF/APNG at this "
                         "path after the run")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--shards", type=int, default=1,
+                   help="spatial slab shards over the device mesh (>1 "
+                        "selects the slab-decomposed sharded step)")
+    p.add_argument("--halo", type=int, default=2,
+                   help="slab halo z-planes (drift tolerance + 1)")
+    p.add_argument("--row-slack", type=float, default=2.0,
+                   help="per-device particle row capacity = N/shards·slack")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("export", help="render a checkpoint to png/ply")
