@@ -68,6 +68,7 @@ E_X = 2              # x-cell slack on candidate line ranges (force pass)
 N_LINES_FORCE = 25   # (dy, dz) in [-2, 2]^2 — covers 1-cell y/z drift
 N_LINES_DENS = 9     # (dy, dz) in [-1, 1]^2 — frame start, no drift
 W_FUDGE = float(_os.environ.get("SPH_PALLAS_W_FUDGE", 1.5))
+UNROLL = int(_os.environ.get("SPH_PALLAS_UNROLL", 2))
 LINE_FUDGE = 4.0     # per-line chunk cap over the mean-occupancy estimate;
                      # longer lines are truncated + counted (certificate),
                      # bounding worst-case compute when exploding scenes
@@ -469,95 +470,110 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
         else:
             acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)]
 
+        def pair_block(blk, lane_gate, acc):
+            """One (8, 128) candidate chunk vs this row-tile; ``lane_gate``
+            additionally masks chunks read past an interval's end (the
+            multi-chunk unroll's tail)."""
+            cxl, cyl, czl = _decode_cell(blk[3:4, :], r)
+            occ = blk[3:4, :] >= 0.0
+            # pure fresh 27-window membership: each candidate appears
+            # exactly once in the single window and the intervals are
+            # disjoint, so no dedup key is needed
+            member = (occ
+                      & (jnp.abs(cxl - fx) <= 1.0)
+                      & (jnp.abs(cyl - fy) <= 1.0)
+                      & (jnp.abs(czl - fz) <= 1.0))
+            gate = member.astype(jnp.float32) * lane_gate
+
+            dxv = rx - blk[0:1, :]
+            dyv = ry - blk[1:2, :]
+            dzv = rz - blk[2:3, :]
+            r2 = dxv * dxv + dyv * dyv + dzv * dzv
+
+            if not force:
+                diff = h2 - r2
+                w = jnp.where(diff > 0, c_poly6 * diff * diff * diff / h9,
+                              0.0)
+                acc[0] = acc[0] + w * gate
+                return acc
+
+            rho_j = blk[7:8, :]
+            rho_ok = rho_j > EPSILON                  # VelPos.compute:91
+            # fold the rho guard into the (single) reciprocal: masked
+            # lanes get 1/rho == 0 and drop out of both force terms
+            inv_rho = jnp.where(rho_ok, 1.0, 0.0) / jnp.where(
+                rho_ok, rho_j, 1.0)
+
+            # exact sqrt for |r| (diff_r = h - |r| suffers catastrophic
+            # cancellation near the support edge, so |r| needs full
+            # precision); rsqrt only replaces the 1/|r| division
+            abs_r = jnp.sqrt(r2)
+            rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+            diff_r = h - abs_r
+            valid = (diff_r > EPSILON) & (abs_r > EPSILON)
+            gwp = jnp.where(
+                valid, (c_grad / h6) * diff_r * diff_r * diff_r * rs,
+                0.0)
+            gwv = jnp.where(abs_r < h, (c_grad / h6) * diff_r, 0.0)
+
+            press_j = gas_k * (rho_j - rho0)
+            pc = gate * (press_i + press_j) * 0.5 * inv_rho * gwp
+            acc[0] = acc[0] + pc * dxv
+            acc[1] = acc[1] + pc * dyv
+            acc[2] = acc[2] + pc * dzv
+            vc = gate * gwv * inv_rho
+            acc[3] = acc[3] + vc * (blk[4:5, :] - rvx)
+            acc[4] = acc[4] + vc * (blk[5:6, :] - rvy)
+            acc[5] = acc[5] + vc * (blk[6:7, :] - rvz)
+
+            if use_ext:
+                # XSPH raw sum: 2/(rho_i+rho_j) W_poly6 (v_j - v_i)
+                # (eps and mass folded in outside the kernel)
+                d2 = h2 - r2
+                w6 = jnp.where(d2 > 0, c_poly6 * d2 * d2 * d2 / h9, 0.0)
+                denom = rrho + rho_j
+                xc = gate * jnp.where(denom > EPSILON, 2.0, 0.0) \
+                    / jnp.where(denom > EPSILON, denom, 1.0) * w6
+                acc[6] = acc[6] + xc * (blk[4:5, :] - rvx)
+                acc[7] = acc[7] + xc * (blk[5:6, :] - rvy)
+                acc[8] = acc[8] + xc * (blk[6:7, :] - rvz)
+                # Monaghan PI raw sum: PI gwp d (alpha, m^2 folded
+                # outside; cs = sqrt(gas_k))
+                dvx2 = rvx - blk[4:5, :]
+                dvy2 = rvy - blk[5:6, :]
+                dvz2 = rvz - blk[6:7, :]
+                vr = dvx2 * dxv + dvy2 * dyv + dvz2 * dzv
+                rho_bar = 0.5 * (rrho + rho_j)
+                mu = h * vr / (r2 + 0.01 * h2)
+                pi_ok = (vr < 0) & (rho_bar > EPSILON)
+                pi = jnp.where(pi_ok, -cs * mu, 0.0) \
+                    / jnp.where(pi_ok, rho_bar, 1.0)
+                ac = gate * pi * gwp
+                acc[9] = acc[9] + ac * dxv
+                acc[10] = acc[10] + ac * dyv
+                acc[11] = acc[11] + ac * dzv
+            return acc
+
         def line_body(i, acc):
             # compacted per-row-tile merged intervals: disjoint [k0, k1)
             # chunk ranges in the group window, live entries first
             k0 = tiles_ref[rt, 2 * i]
             k1 = tiles_ref[rt, 2 * i + 1]
 
-            def chunk_body(k, acc):
-                blk = scratch[slot, k]                     # (8, 128) fields
-                cxl, cyl, czl = _decode_cell(blk[3:4, :], r)
-                occ = blk[3:4, :] >= 0.0
-                # pure fresh 27-window membership: each candidate appears
-                # exactly once in the single window and the intervals are
-                # disjoint, so no dedup key is needed
-                member = (occ
-                          & (jnp.abs(cxl - fx) <= 1.0)
-                          & (jnp.abs(cyl - fy) <= 1.0)
-                          & (jnp.abs(czl - fz) <= 1.0))
-                gate = member.astype(jnp.float32)
-
-                dxv = rx - blk[0:1, :]
-                dyv = ry - blk[1:2, :]
-                dzv = rz - blk[2:3, :]
-                r2 = dxv * dxv + dyv * dyv + dzv * dzv
-
-                if not force:
-                    diff = h2 - r2
-                    w = jnp.where(diff > 0, c_poly6 * diff * diff * diff / h9,
-                                  0.0)
-                    acc[0] = acc[0] + w * gate
-                    return acc
-
-                rho_j = blk[7:8, :]
-                rho_ok = rho_j > EPSILON                  # VelPos.compute:91
-                # fold the rho guard into the (single) reciprocal: masked
-                # lanes get 1/rho == 0 and drop out of both force terms
-                inv_rho = jnp.where(rho_ok, 1.0, 0.0) / jnp.where(
-                    rho_ok, rho_j, 1.0)
-
-                # exact sqrt for |r| (diff_r = h - |r| suffers catastrophic
-                # cancellation near the support edge, so |r| needs full
-                # precision); rsqrt only replaces the 1/|r| division
-                abs_r = jnp.sqrt(r2)
-                rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
-                diff_r = h - abs_r
-                valid = (diff_r > EPSILON) & (abs_r > EPSILON)
-                gwp = jnp.where(
-                    valid, (c_grad / h6) * diff_r * diff_r * diff_r * rs,
-                    0.0)
-                gwv = jnp.where(abs_r < h, (c_grad / h6) * diff_r, 0.0)
-
-                press_j = gas_k * (rho_j - rho0)
-                pc = gate * (press_i + press_j) * 0.5 * inv_rho * gwp
-                acc[0] = acc[0] + pc * dxv
-                acc[1] = acc[1] + pc * dyv
-                acc[2] = acc[2] + pc * dzv
-                vc = gate * gwv * inv_rho
-                acc[3] = acc[3] + vc * (blk[4:5, :] - rvx)
-                acc[4] = acc[4] + vc * (blk[5:6, :] - rvy)
-                acc[5] = acc[5] + vc * (blk[6:7, :] - rvz)
-
-                if use_ext:
-                    # XSPH raw sum: 2/(rho_i+rho_j) W_poly6 (v_j - v_i)
-                    # (eps and mass folded in outside the kernel)
-                    d2 = h2 - r2
-                    w6 = jnp.where(d2 > 0, c_poly6 * d2 * d2 * d2 / h9, 0.0)
-                    denom = rrho + rho_j
-                    xc = gate * jnp.where(denom > EPSILON, 2.0, 0.0) \
-                        / jnp.where(denom > EPSILON, denom, 1.0) * w6
-                    acc[6] = acc[6] + xc * (blk[4:5, :] - rvx)
-                    acc[7] = acc[7] + xc * (blk[5:6, :] - rvy)
-                    acc[8] = acc[8] + xc * (blk[6:7, :] - rvz)
-                    # Monaghan PI raw sum: PI gwp d (alpha, m^2 folded
-                    # outside; cs = sqrt(gas_k))
-                    dvx2 = rvx - blk[4:5, :]
-                    dvy2 = rvy - blk[5:6, :]
-                    dvz2 = rvz - blk[6:7, :]
-                    vr = dvx2 * dxv + dvy2 * dyv + dvz2 * dzv
-                    rho_bar = 0.5 * (rrho + rho_j)
-                    mu = h * vr / (r2 + 0.01 * h2)
-                    pi_ok = (vr < 0) & (rho_bar > EPSILON)
-                    pi = jnp.where(pi_ok, -cs * mu, 0.0) \
-                        / jnp.where(pi_ok, rho_bar, 1.0)
-                    ac = gate * pi * gwp
-                    acc[9] = acc[9] + ac * dxv
-                    acc[10] = acc[10] + ac * dyv
-                    acc[11] = acc[11] + ac * dzv
+            def chunk_body(it, acc):
+                # UNROLL chunks per iteration off ONE dynamic base address:
+                # the ~0.4 us Mosaic scalar overhead per iteration (dynamic
+                # VMEM indexing + loop bookkeeping) is amortized over
+                # UNROLL pair blocks; tail chunks past k1 are lane-gated out
+                k = k0 + it * UNROLL
+                for u in range(UNROLL):
+                    ku = jnp.minimum(k + u, w_rows - 1)
+                    lg = ((k + u) < k1).astype(jnp.float32)
+                    acc = pair_block(scratch[slot, ku], lg, acc)
                 return acc
 
-            return jax.lax.fori_loop(k0, k1, chunk_body, acc, unroll=False)
+            n_it = jax.lax.div(k1 - k0 + (UNROLL - 1), UNROLL)
+            return jax.lax.fori_loop(0, n_it, chunk_body, acc, unroll=False)
 
         acc = jax.lax.fori_loop(0, counts_ref[rt, 0], line_body, acc,
                                 unroll=False)
@@ -643,9 +659,41 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     use_ext = xsph != 0.0 or alpha_visc != 0.0
     fields = pack_fields(frame, pos_s, vel_s, rho_s, n, r)
     rows = pack_rows(pos_s, vel_s, rho_s, frame.cid, n)
-    out = _call_kernel(N_LINES_FORCE, True, r, window_rows(n, r, 2, E_X),
-                       frame.win_f, frame.tiles_f, frame.counts_f, rows,
-                       _scal(phys), fields, use_ext=use_ext)
+
+    # certificate inputs, computed up front so they can also gate the
+    # window size: coverage holds when the (clamped) fresh cell is within
+    # 1 of the anchor on every axis — valid window cells of out-of-cube
+    # positions neighbor the CLAMPED cell, so clamp before comparing
+    fresh = jnp.clip((pos_s * (r - 1)).astype(jnp.int32), 0, r - 1)
+    stale_z = frame.cid // (r * r)
+    stale_y = (frame.cid - stale_z * (r * r)) // r
+    stale_x = frame.cid - stale_z * (r * r) - stale_y * r
+    stale = jnp.stack([stale_x, stale_y, stale_z], -1)
+    drift = jnp.max(jnp.abs(fresh - stale), axis=-1)
+    drift_max = jnp.max(drift)
+
+    def full_window(ops):
+        rows_, fields_ = ops
+        return _call_kernel(N_LINES_FORCE, True, r,
+                            window_rows(n, r, 2, E_X), frame.win_f,
+                            frame.tiles_f, frame.counts_f, rows_,
+                            _scal(phys), fields_, use_ext=use_ext)
+
+    def nine_line(ops):
+        # Drift-gated exact fast path: when NO particle's fresh cell moved
+        # off its stale anchor this substep, the fresh 27-window is the
+        # stale ±1 window — the density pass's own (9-line, e=1) coverage
+        # guarantee applies verbatim, with ~2.8× fewer chunk intervals and
+        # a smaller DMA window. Substep 1 of every frame takes this path
+        # by construction; later substeps take it while the flow is calm.
+        rows_, fields_ = ops
+        return _call_kernel(N_LINES_DENS, True, r,
+                            window_rows(n, r, 1, 1), frame.win_d,
+                            frame.tiles_d, frame.counts_d, rows_,
+                            _scal(phys), fields_, use_ext=use_ext)
+
+    out = jax.lax.cond(drift_max > 0, full_window, nine_line,
+                       (rows, fields))
     flat = out.reshape(-1, LANES)[:n]
     f_press = flat[:, 0:3]
     f_vis = flat[:, 3:6]
@@ -669,14 +717,5 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
             f_ext = (jnp.float32(alpha_visc) * phys.mass * phys.mass
                      * flat[:, 9:12])
 
-    # certificate: coverage holds when the (clamped) fresh cell is within
-    # 1 of the anchor on every axis — valid window cells of out-of-cube
-    # positions neighbor the CLAMPED cell, so clamp before comparing
-    fresh = jnp.clip((pos_s * (r - 1)).astype(jnp.int32), 0, r - 1)
-    stale_z = frame.cid // (r * r)
-    stale_y = (frame.cid - stale_z * (r * r)) // r
-    stale_x = frame.cid - stale_z * (r * r) - stale_y * r
-    stale = jnp.stack([stale_x, stale_y, stale_z], -1)
-    drift = jnp.max(jnp.abs(fresh - stale), axis=-1)
     drift_overflow = jnp.sum((drift > 1).astype(jnp.int32))
     return f_press + f_vis + f_ext, xsph_dv, drift_overflow
