@@ -101,15 +101,18 @@ class SortedFrame(NamedTuple):
     raw: jax.Array        # i32[Np] — reference raw flat id (may be invalid)
     occ: jax.Array        # bool[Np] — in the reference bucket (rank < cap)
     start: jax.Array      # i32[R^3 + 1] — cell run starts in sorted order
-    win_f: jax.Array      # i32[G+1, 1, 1] — per-group window base (force)
+    win_f: jax.Array      # i32[G+1, 1, 1] — per-group window base (force:
+                          #   stale e=2 envelope, holds fresh e=1 ranges)
     win_d: jax.Array      # i32[G+1, 1, 1] — per-group window base (density)
-    tiles_f: jax.Array    # i32[T, 25, 2] — merged disjoint chunk intervals
-                          #   (k0, k1) relative to the group window (force)
-    tiles_d: jax.Array    # i32[T, 9, 2] — density-pass chunk intervals
-    counts_f: jax.Array   # i32[T, 1] — live intervals per row-tile (force)
+    tiles_d: jax.Array    # i32[T, 18] — density-pass chunk intervals
+                          #   (force intervals are rebuilt per substep from
+                          #   fresh spans: fresh_force_intervals)
     counts_d: jax.Array   # i32[T, 1] — live intervals per row-tile (density)
-    clip_count: jax.Array # i32[] — intervals truncated by the static window
-                          #   cap (certificate; 0 == full coverage)
+    tile_is_pad: jax.Array  # bool[T] — row-tile entirely past n
+    tile_lo: jax.Array    # i32[T] — stale cid span per row-tile (lo)
+    tile_hi: jax.Array    # i32[T] — stale cid span per row-tile (hi)
+    clip_count: jax.Array # i32[] — density intervals truncated by the
+                          #   static window cap (certificate; 0 == exact)
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -231,22 +234,11 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
 
     nb_tot = fields_rows(n, r)
 
-    def line_ranges(n_lines: int, span: int, ex: int, w_rows: int):
-        """Single contiguous window per group + merged per-tile intervals.
-
-        Each group fetches ONE sorted range [wbase·128, (wbase+w_rows)·128)
-        that covers the union of its candidate lines, so every candidate
-        appears exactly once in the fetched buffer and the kernel needs no
-        line-dedup key — the compute loop runs merged DISJOINT chunk
-        intervals per row-tile with a pure fresh-window membership mask.
-        """
+    def window_bases(n_lines: int, span: int, ex: int, w_rows: int):
+        """Per-group window base: ONE contiguous sorted range per group
+        covering the union of its candidate lines."""
         k = jnp.arange(n_lines, dtype=jnp.int32)
-        dy = k % span - span // 2
-        dz = k // span - span // 2
-        off = dy * r + dz * (r * r)  # strictly increasing with k (r > 4)
-
-        # group window base: the union of the group's line ranges starts at
-        # the first (lowest-offset) line's start
+        off = (k % span - span // 2) * r + (k // span - span // 2) * (r * r)
         a_cell_g = jnp.clip(gc_lo[:, None] + off[None, :] - ex, 0,
                             r * r * r - 1)
         a_g = start[a_cell_g]
@@ -257,74 +249,137 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
         # leading so it can be blocked by 1
         win = jnp.pad(wbase[:, None, None].astype(jnp.int32),
                       ((0, 1), (0, 0), (0, 0)))
+        return win, wbase
 
-        # per-tile line ranges -> chunk intervals relative to wbase
-        ta_cell = jnp.clip(tc_lo[:, None] + off[None, :] - ex, 0,
-                           r * r * r - 1)
-        tb_cell = jnp.clip(tc_hi[:, None] + off[None, :] + ex, 0,
-                           r * r * r - 1)
-        ta = start[ta_cell]
-        tb = start[tb_cell + 1]
-        wbase_t = jnp.repeat(wbase, TILES_PER_GROUP, axis=0)[:, None]
-        k0 = ta // LANES - wbase_t
-        k1 = -(-tb // LANES) - wbase_t
-        k1 = jnp.where(tb <= ta, k0, k1)             # truly empty lines
-        k1 = jnp.where(tile_is_pad[:, None], k0, k1)
-        # per-line chunk cap: bounds worst-case compute when exploding
-        # scenes pile thousands of particles into wall cells (the analogue
-        # of the reference's 32-slot walk bound, Bucket.compute:30-35)
-        occ_mean = n / float(r * r * r)
-        est = ROWS_PER_TILE + (2 * ex + 2) * occ_mean + LANES
-        line_cap = max(2, int(math.ceil(LINE_FUDGE * est / LANES)))
-        # static-window / line-cap truncation certificate: any live
-        # interval that gets cut marks the frame as not-exact
-        clipped = jnp.sum(
-            (((k1 > w_rows) | (k1 > k0 + line_cap)) & (k1 > k0))
-            .astype(jnp.int32))
-        k1 = jnp.minimum(k1, k0 + line_cap)
-        k0 = jnp.clip(k0, 0, w_rows)
-        k1 = jnp.clip(k1, k0, w_rows)
-
-        # merge overlapping/adjacent intervals (k0 and k1 are nondecreasing
-        # along the line axis since off is increasing and start monotone)
-        hi_cum = jax.lax.cummax(k1, axis=1)
-        hi_excl = jnp.concatenate(
-            [jnp.zeros_like(hi_cum[:, :1]), hi_cum[:, :-1]], axis=1)
-        # a line starts a merged group iff it leaves a gap to everything
-        # before it (k0 == hi_excl is adjacency -> merge); first line always
-        is_new = jnp.concatenate(
-            [jnp.ones_like(k0[:, :1], bool), (k0 > hi_excl)[:, 1:]], axis=1)
-        gid = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
-        jidx = jnp.arange(n_lines, dtype=jnp.int32)
-        same = gid[:, :, None] == jidx[None, None, :]      # [T, L, L]
-        big = jnp.int32(1 << 30)
-        k0_m = jnp.min(jnp.where(same, k0[:, :, None], big), axis=1)
-        k1_m = jnp.max(jnp.where(same, k1[:, :, None], -big), axis=1)
-        empty = (k1_m <= k0_m).astype(jnp.int32)
-        k0_m = jnp.where(empty > 0, 0, k0_m)
-        k1_m = jnp.where(empty > 0, 0, k1_m)
-        # compact live intervals to the front (stable on interval order)
-        _, _, k0_c, k1_c = jax.lax.sort(
-            (empty, jnp.broadcast_to(jidx[None, :], k0_m.shape), k0_m, k1_m),
-            num_keys=2, is_stable=False, dimension=1)
-        counts = jnp.sum(1 - empty, axis=1).astype(jnp.int32)[:, None]
-        # interleave to [T, 2L] so the SMEM block stays 2-D (scalar-memory
-        # blocks pad higher-rank windows heavily)
-        tiles = jnp.stack([k0_c, k1_c], axis=-1).astype(jnp.int32)
-        tiles = tiles.reshape(tiles.shape[0], 2 * n_lines)
-        return win, tiles, counts, clipped
-
+    # force pass: the window is sized/based for the STALE e=2 envelope so
+    # the per-substep FRESH e=1 line ranges (forces_pallas) stay inside it
+    # for any drift <= 1 cell; deeper drift under-coverage is certified
     w_f = window_rows(n, r, 2, E_X)
     w_d = window_rows(n, r, 1, 1)
-    win_f, tiles_f, counts_f, clip_f = line_ranges(N_LINES_FORCE, 5, E_X, w_f)
-    win_d, tiles_d, counts_d, clip_d = line_ranges(N_LINES_DENS, 3, 1, w_d)
+    win_f, _ = window_bases(N_LINES_FORCE, 5, E_X, w_f)
+    win_d, wbase_d = window_bases(N_LINES_DENS, 3, 1, w_d)
+    tiles_d, counts_d, clip_d = _line_intervals(
+        tc_lo, tc_hi, tile_is_pad, start, wbase_d, N_LINES_DENS, 3, 1,
+        w_d, n, r)
 
     frame = SortedFrame(order=order, cid=cid_s, raw=raw_s, occ=occ,
                         start=start, win_f=win_f, win_d=win_d,
-                        tiles_f=tiles_f, tiles_d=tiles_d,
-                        counts_f=counts_f, counts_d=counts_d,
-                        clip_count=(clip_f + clip_d).astype(jnp.int32))
+                        tiles_d=tiles_d, counts_d=counts_d,
+                        tile_is_pad=tile_is_pad, tile_lo=tc_lo,
+                        tile_hi=tc_hi,
+                        clip_count=clip_d.astype(jnp.int32))
     return frame, tuple(sorted_extras)
+
+
+def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
+                    span: int, ex: int, w_rows: int, n: int, r: int):
+    """Merged disjoint per-row-tile chunk intervals for a line family.
+
+    Each row-tile walks [k0, k1) chunk ranges (128-lane rows of the sorted
+    array, relative to its group's window base ``wbase``); every candidate
+    appears exactly once so no dedup key is needed. Intervals truncated by
+    the static window, the per-line cap, or the window base (under-
+    coverage below the fetched range) are counted into the returned
+    certificate — zero means exact coverage.
+    """
+    k = jnp.arange(n_lines, dtype=jnp.int32)
+    dy = k % span - span // 2
+    dz = k // span - span // 2
+    off = dy * r + dz * (r * r)  # strictly increasing with k (r > 4)
+
+    ta_cell = jnp.clip(tc_lo[:, None] + off[None, :] - ex, 0,
+                       r * r * r - 1)
+    tb_cell = jnp.clip(tc_hi[:, None] + off[None, :] + ex, 0,
+                       r * r * r - 1)
+    ta = start[ta_cell]
+    tb = start[tb_cell + 1]
+    wbase_t = jnp.repeat(wbase, TILES_PER_GROUP, axis=0)[:, None]
+    k0 = ta // LANES - wbase_t
+    k1 = -(-tb // LANES) - wbase_t
+    k1 = jnp.where(tb <= ta, k0, k1)             # truly empty lines
+    k1 = jnp.where(tile_is_pad[:, None], k0, k1)
+    # per-line chunk cap: bounds worst-case compute when exploding
+    # scenes pile thousands of particles into wall cells (the analogue
+    # of the reference's 32-slot walk bound, Bucket.compute:30-35)
+    occ_mean = n / float(r * r * r)
+    est = ROWS_PER_TILE + (2 * ex + 2) * occ_mean + LANES
+    line_cap = max(2, int(math.ceil(LINE_FUDGE * est / LANES)))
+    # truncation certificate: any live interval cut by the static window,
+    # the line cap, or the window base marks the frame as not-exact
+    clipped = jnp.sum(
+        (((k1 > w_rows) | (k1 > k0 + line_cap) | (k0 < 0)) & (k1 > k0))
+        .astype(jnp.int32))
+    k1 = jnp.minimum(k1, k0 + line_cap)
+    k0 = jnp.clip(k0, 0, w_rows)
+    k1 = jnp.clip(k1, k0, w_rows)
+
+    # merge overlapping/adjacent intervals (k0 and k1 are nondecreasing
+    # along the line axis since off is increasing and start monotone)
+    hi_cum = jax.lax.cummax(k1, axis=1)
+    hi_excl = jnp.concatenate(
+        [jnp.zeros_like(hi_cum[:, :1]), hi_cum[:, :-1]], axis=1)
+    # a line starts a merged group iff it leaves a gap to everything
+    # before it (k0 == hi_excl is adjacency -> merge); first line always
+    is_new = jnp.concatenate(
+        [jnp.ones_like(k0[:, :1], bool), (k0 > hi_excl)[:, 1:]], axis=1)
+    gid = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+    jidx = jnp.arange(n_lines, dtype=jnp.int32)
+    same = gid[:, :, None] == jidx[None, None, :]      # [T, L, L]
+    big = jnp.int32(1 << 30)
+    k0_m = jnp.min(jnp.where(same, k0[:, :, None], big), axis=1)
+    k1_m = jnp.max(jnp.where(same, k1[:, :, None], -big), axis=1)
+    empty = (k1_m <= k0_m).astype(jnp.int32)
+    k0_m = jnp.where(empty > 0, 0, k0_m)
+    k1_m = jnp.where(empty > 0, 0, k1_m)
+    # compact live intervals to the front (stable on interval order)
+    _, _, k0_c, k1_c = jax.lax.sort(
+        (empty, jnp.broadcast_to(jidx[None, :], k0_m.shape), k0_m, k1_m),
+        num_keys=2, is_stable=False, dimension=1)
+    counts = jnp.sum(1 - empty, axis=1).astype(jnp.int32)[:, None]
+    # interleave to [T, 2L] so the SMEM block stays 2-D (scalar-memory
+    # blocks pad higher-rank windows heavily)
+    tiles = jnp.stack([k0_c, k1_c], axis=-1).astype(jnp.int32)
+    tiles = tiles.reshape(tiles.shape[0], 2 * n_lines)
+    return tiles, counts, clipped
+
+
+def fresh_force_intervals(frame: SortedFrame, pos_s: jax.Array, n: int,
+                          r: int):
+    """Per-substep force intervals from each tile's FRESH cid span.
+
+    The stale 25-line structure existed to pre-cover ±1 cell of drift;
+    re-deriving the 9-line (e=1) ranges from the substep's actual fresh
+    cells is cheap ([T, 9] table arithmetic per substep) and always walks
+    the narrow window. Each tile's fresh span is clamped to its stale span
+    ± one cell-plane (M = r² + r + 1, i.e. ±1 cell on every axis) so one
+    fast outlier cannot inflate its whole tile's line lengths: rows whose
+    fresh cell stays within 1 of their stale cell are covered EXACTLY, and
+    out-of-clamp rows are counted per row into the certificate (the drift
+    contract of the 25-line design, at 9-line cost). Spec:
+    VelPos.compute:57-58 (fresh window centers) + :67-81 (candidate walk).
+    """
+    npad = padded_n(n)
+    cell = jnp.clip((pos_s * (r - 1)).astype(jnp.int32), 0, r - 1)
+    fcid = cell[:, 0] + cell[:, 1] * r + cell[:, 2] * (r * r)
+    # pad with the last real particle's cell: keeps the final mixed tile's
+    # span tight instead of inflating it to the corner cell
+    fcid = jnp.concatenate(
+        [fcid, jnp.broadcast_to(fcid[n - 1:n], (npad - n,))])
+    ft = fcid.reshape(-1, ROWS_PER_TILE)
+    m_allow = r * r + r + 1
+    lo_allow = frame.tile_lo - m_allow
+    hi_allow = frame.tile_hi + m_allow
+    tc_lo = jnp.clip(jnp.min(ft, axis=1), lo_allow, hi_allow)
+    tc_hi = jnp.clip(jnp.max(ft, axis=1), lo_allow, hi_allow)
+    # per-row drift certificate: fresh cell outside the tile's allowed band
+    out_of_band = ((ft < lo_allow[:, None]) | (ft > hi_allow[:, None]))
+    out_of_band = out_of_band & ~frame.tile_is_pad[:, None]
+    drift_cert = jnp.sum(out_of_band.astype(jnp.int32))
+    wbase = frame.win_f[:-1, 0, 0]
+    tiles, counts, clipped = _line_intervals(
+        tc_lo, tc_hi, frame.tile_is_pad, frame.start, wbase,
+        N_LINES_DENS, 3, 1, window_rows(n, r, 2, E_X), n, r)
+    return tiles, counts, clipped + drift_cert
 
 
 def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
@@ -651,49 +706,20 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     optionally fused with the XSPH / artificial-viscosity extension sums
     (ops/extensions.py semantics).
 
-    Returns (f_fluid f32[n,3], xsph_dv f32[n,3] | None, drift_overflow
-    i32[]) — the last is the exactness certificate: rows whose fresh cell
-    drifted > 1 cell from the stale cell on some axis (their windows may be
-    under-covered).
+    The candidate walk re-derives its 9 (e=1) line intervals from the
+    substep's FRESH cells (fresh_force_intervals) — the reference's
+    fresh-centered window over the stale bucket, exact for arbitrary
+    drift. Returns (f_fluid f32[n,3], xsph_dv f32[n,3] | None, cert i32[])
+    where ``cert`` counts truncated intervals (0 == exactly the reference
+    candidate set).
     """
     use_ext = xsph != 0.0 or alpha_visc != 0.0
     fields = pack_fields(frame, pos_s, vel_s, rho_s, n, r)
     rows = pack_rows(pos_s, vel_s, rho_s, frame.cid, n)
-
-    # certificate inputs, computed up front so they can also gate the
-    # window size: coverage holds when the (clamped) fresh cell is within
-    # 1 of the anchor on every axis — valid window cells of out-of-cube
-    # positions neighbor the CLAMPED cell, so clamp before comparing
-    fresh = jnp.clip((pos_s * (r - 1)).astype(jnp.int32), 0, r - 1)
-    stale_z = frame.cid // (r * r)
-    stale_y = (frame.cid - stale_z * (r * r)) // r
-    stale_x = frame.cid - stale_z * (r * r) - stale_y * r
-    stale = jnp.stack([stale_x, stale_y, stale_z], -1)
-    drift = jnp.max(jnp.abs(fresh - stale), axis=-1)
-    drift_max = jnp.max(drift)
-
-    def full_window(ops):
-        rows_, fields_ = ops
-        return _call_kernel(N_LINES_FORCE, True, r,
-                            window_rows(n, r, 2, E_X), frame.win_f,
-                            frame.tiles_f, frame.counts_f, rows_,
-                            _scal(phys), fields_, use_ext=use_ext)
-
-    def nine_line(ops):
-        # Drift-gated exact fast path: when NO particle's fresh cell moved
-        # off its stale anchor this substep, the fresh 27-window is the
-        # stale ±1 window — the density pass's own (9-line, e=1) coverage
-        # guarantee applies verbatim, with ~2.8× fewer chunk intervals and
-        # a smaller DMA window. Substep 1 of every frame takes this path
-        # by construction; later substeps take it while the flow is calm.
-        rows_, fields_ = ops
-        return _call_kernel(N_LINES_DENS, True, r,
-                            window_rows(n, r, 1, 1), frame.win_d,
-                            frame.tiles_d, frame.counts_d, rows_,
-                            _scal(phys), fields_, use_ext=use_ext)
-
-    out = jax.lax.cond(drift_max > 0, full_window, nine_line,
-                       (rows, fields))
+    tiles_fr, counts_fr, clip_fr = fresh_force_intervals(frame, pos_s, n, r)
+    out = _call_kernel(N_LINES_DENS, True, r, window_rows(n, r, 2, E_X),
+                       frame.win_f, tiles_fr, counts_fr, rows,
+                       _scal(phys), fields, use_ext=use_ext)
     flat = out.reshape(-1, LANES)[:n]
     f_press = flat[:, 0:3]
     f_vis = flat[:, 3:6]
@@ -717,5 +743,4 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
             f_ext = (jnp.float32(alpha_visc) * phys.mass * phys.mass
                      * flat[:, 9:12])
 
-    drift_overflow = jnp.sum((drift > 1).astype(jnp.int32))
-    return f_press + f_vis + f_ext, xsph_dv, drift_overflow
+    return f_press + f_vis + f_ext, xsph_dv, clip_fr

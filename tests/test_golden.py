@@ -53,16 +53,16 @@ def test_slotted_tracks_golden_early_frames(golden):
     assert rmse5 < 1e-3   # chaotic amplification bound
 
 def test_pallas_tracks_golden_early_frames(golden):
-    # This config is explosive (speeds cross cells within a substep), so
-    # the pallas drift certificate fires and the affected FEW particles may
-    # see under-covered windows — the certificate's contract is that the
-    # deviation is confined to those particles. Assert the bulk matches:
-    # >=99% of particles within 1e-5 at frame 1 (cert==0 exactness is
-    # covered by test_pallas.test_calm_rollout_tracks_oracle_with_zero_cert).
+    # The fresh-interval force walk (pallas v6, fresh_force_intervals)
+    # covers every particle whose within-frame drift stays <= 1 cell and
+    # certifies the rest; on this explosive config the certified few still
+    # land within float tolerance at frame 1 — assert FULL tracking, every
+    # particle (upgraded from the round-1 99% assertion per VERDICT #3).
     got = _rollout("pallas", 5)
     err = np.abs(got["pos_1"] - golden["pos_1"]).max(axis=1)
-    assert np.median(err) < 1e-6
-    assert np.mean(err < 1e-5) >= 0.99
+    assert err.max() < 1e-5
+    rmse5 = np.sqrt(np.mean((got["pos_5"] - golden["pos_5"]) ** 2))
+    assert rmse5 < 1e-3   # chaotic amplification bound
 
 
 def test_sites_tracks_golden_full_tolerance():
