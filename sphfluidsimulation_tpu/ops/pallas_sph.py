@@ -403,15 +403,15 @@ def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
             padf(pos_s[:, 2], 2.0), padf(cid_enc, -1.0),
             padf(vel_s[:, 0], 0.0), padf(vel_s[:, 1], 0.0),
             padf(vel_s[:, 2], 0.0), padf(rho_s, 0.0)]
-    # build as [8, NB, 128] then swap the two LEADING dims — a tile-aligned
-    # block transpose (the 128-lane minor dim never moves), vs. transposing
-    # a minor-dim-8 array which XLA relayouts at ~1 GB/s
+    # FIELD-MAJOR [8, NB, 128]: a pure reshape (no relayout — transposing
+    # to row-major [NB, 8, 128] costs ~13 ms/substep at 262k because the
+    # minor-dim-8 relayout runs at ~1 GB/s). The kernel instead issues one
+    # window DMA per field, interleaving into the row-major scratch.
     fields = jnp.stack(cols, axis=0).reshape(N_FIELDS, npad // LANES, LANES)
-    fields = jnp.transpose(fields, (1, 0, 2))             # [NB, 8, 128]
     n_guard = fields_rows(n, r) - npad // LANES
-    guard = jnp.zeros((n_guard, N_FIELDS, LANES), jnp.float32)
-    guard = guard.at[:, 3, :].set(-1.0)
-    return jnp.concatenate([fields, guard], axis=0)
+    guard = jnp.zeros((N_FIELDS, n_guard, LANES), jnp.float32)
+    guard = guard.at[3].set(-1.0)
+    return jnp.concatenate([fields, guard], axis=1)
 
 
 def pack_rows(pos_s: jax.Array, vel_s: jax.Array, rho_s: jax.Array,
@@ -468,24 +468,30 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
     g = pl.program_id(0)
     slot = jax.lax.rem(g, 2)
 
-    def _dma(slot_idx, wref):
-        return pltpu.make_async_copy(
-            fields_ref.at[pl.ds(wref[0, 0, 0], w_rows)],
-            scratch.at[slot_idx],
-            sems.at[slot_idx])
+    def _copies(slot_idx, wref):
+        # one window DMA per field: HBM fields are field-major (pure
+        # reshape, no relayout), and the 8 strided copies interleave into
+        # the row-major scratch the compute loop reads as (8, 128) chunks
+        return [pltpu.make_async_copy(
+            fields_ref.at[f, pl.ds(wref[0, 0, 0], w_rows)],
+            scratch.at[slot_idx, :, f],
+            sems.at[slot_idx, f]) for f in range(N_FIELDS)]
 
     # Prologue: the first group fetches its own window.
     @pl.when(g == 0)
     def _():
-        _dma(0, win_ref).start()
+        for c in _copies(0, win_ref):
+            c.start()
 
     # Prefetch the NEXT group's window into the other slot (the win array
     # is padded with a zero row so g == G-1 issues a harmless fetch).
     @pl.when(g + 1 < pl.num_programs(0))
     def _():
-        _dma(1 - slot, win_nxt_ref).start()
+        for c in _copies(1 - slot, win_nxt_ref):
+            c.start()
 
-    _dma(slot, win_ref).wait()
+    for c in _copies(slot, win_ref):
+        c.wait()
 
     h = scal_ref[0, 0]
     gas_k = scal_ref[0, 1]
@@ -672,7 +678,7 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
             (n_groups * TILES_PER_GROUP, ROWS_PER_TILE, LANES), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, w_rows, N_FIELDS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, N_FIELDS)),
         ],
         interpret=_interpret(),
     )(win, win, tiles, counts, rows, scal, fields)
