@@ -35,8 +35,8 @@ def main() -> int:
     enable_compilation_cache()
 
     last_err = None
-    for n, frames, neighbor, kcap in ((1 << 20, 20, "sites", 16),
-                                      (1 << 20, 20, "pallas", None),
+    for n, frames, neighbor, kcap in ((1 << 20, 20, "pallas", None),
+                                      (1 << 18, 20, "pallas", None),
                                       (1 << 18, 20, "sites", 16),
                                       (1 << 16, 30, "slotted", None)):
         try:
