@@ -12,12 +12,24 @@ Emits one JSON line per (part, backend) with the RMSE ladder and
 certificate totals; saves the calm-config 1024 pin to tests/data/.
 """
 import json
+import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 CHECKPOINTS = (1, 10, 100, 1000)
+
+
+def _alarm(seconds: int) -> None:
+    """Watchdog: axon dispatches hang forever when the worker crashes."""
+    def on_alarm(*a):
+        print(json.dumps({"error": "stage timed out"}), flush=True)
+        os._exit(9)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
 
 
 def rollout_checkpoints(cfg, neighbor, state):
@@ -58,6 +70,7 @@ def main():
                      gas_constant=20.0, rest_density=1.7, viscosity=0.05,
                      stiffness_coefficient=1000.0, frame_dt=1 / 240)
     st = initial_state(calm)
+    _alarm(1800)
     ref, stats = rollout_checkpoints(calm, "brute", st)
     print(json.dumps({"part": "calm1024", "backend": "brute",
                       **stats}), flush=True)
@@ -65,6 +78,7 @@ def main():
              **{f"f{k}": np.asarray(v) for k, v in ref.items()})
     for nb in ("slotted", "pallas", "sites"):
         t0 = time.time()
+        _alarm(1800)
         got, stats = rollout_checkpoints(calm, nb, st)
         print(json.dumps({
             "part": "calm1024", "backend": nb,
@@ -76,6 +90,7 @@ def main():
                        site_capacity=24)
     st = initial_state(golden)
     t0 = time.time()
+    _alarm(3600)
     ref, stats = rollout_checkpoints(golden, "slotted", st)
     print(json.dumps({"part": "golden262k", "backend": "slotted(pin)",
                       **stats, "wall_s": round(time.time() - t0, 1)}),
@@ -84,6 +99,7 @@ def main():
              **{f"f{k}": np.asarray(v) for k, v in ref.items()})
     for nb in ("sites", "pallas"):
         t0 = time.time()
+        _alarm(3600)
         got, stats = rollout_checkpoints(golden, nb, st)
         print(json.dumps({
             "part": "golden262k", "backend": nb,
@@ -93,3 +109,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    os._exit(0)  # skip axon-plugin teardown (crashes the TPU worker)

@@ -1,17 +1,13 @@
-"""Probe the sites backend on the tunneled TPU, smallest first, with a
-SIGALRM watchdog per stage (in-flight dispatches hang forever when the TPU
-worker crashes; the alarm turns a hang into a visible failure).
-
-Each stage runs in a fresh subprocess so a wedged runtime cannot poison
-later stages. Prints one line per stage.
+"""Probe the pallas backend (v6 fresh-interval kernels) on the TPU:
+262k and 1M golden workloads plus a ROWS/TPG/UNROLL knob sweep at 262k.
+Same subprocess-watchdog structure as probe_sites_tpu.py.
 """
-import signal
 import subprocess
 import sys
 import time
 
 STAGE_SRC = r"""
-import signal, sys, time
+import signal, sys
 sys.path.insert(0, "/root/repo")
 
 def on_alarm(*a):
@@ -19,16 +15,15 @@ def on_alarm(*a):
     sys.exit(9)
 
 signal.signal(signal.SIGALRM, on_alarm)
-signal.alarm(int(sys.argv[4]))
+signal.alarm(int(sys.argv[2]))
 
 import jax, jax.numpy as jnp
 from sphfluidsimulation_tpu.utils.compcache import enable_compilation_cache
 from sphfluidsimulation_tpu.bench import run_bench
 enable_compilation_cache()
-float(jnp.sum(jnp.ones(8)))  # device up-check
-n, frames, kcap = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-r = run_bench(n_particles=n, frames=frames, neighbor=sys.argv[5],
-              site_capacity=(kcap if sys.argv[5] == "sites" else None))
+float(jnp.sum(jnp.ones(8)))
+n, frames = int(sys.argv[1]), int(sys.argv[3])
+r = run_bench(n_particles=n, frames=frames, neighbor="pallas")
 print(f"RESULT {r['value']:.4g} {r['unit']} compile={r['compile_plus_warmup_s']}s "
       f"cert={r['exact_cert_total']} ovf={r['overflow_max']}", flush=True)
 """
@@ -51,28 +46,31 @@ def wait_tpu(max_wait=2400):
 
 def main():
     stages = [
-        ("sites", 1 << 14, 10, 16, 600),
-        ("sites", 1 << 16, 10, 16, 900),
-        ("sites", 1 << 18, 20, 16, 900),
-        ("sites", 1 << 20, 20, 16, 1200),
-        ("pallas", 1 << 18, 20, 0, 900),
-        ("pallas", 1 << 20, 20, 0, 1200),
-        ("sites", 1 << 18, 20, 8, 900),
+        ("base", {}, 1 << 18, 20, 1200),
+        ("base", {}, 1 << 20, 20, 1500),
+        ("rows64", {"SPH_PALLAS_ROWS": "64", "SPH_PALLAS_TPG": "16"},
+         1 << 18, 20, 1200),
+        ("rows64u4", {"SPH_PALLAS_ROWS": "64", "SPH_PALLAS_TPG": "16",
+                      "SPH_PALLAS_UNROLL": "4"}, 1 << 18, 20, 1200),
+        ("u4", {"SPH_PALLAS_UNROLL": "4"}, 1 << 18, 20, 1200),
     ]
-    for nb, n, frames, kcap, budget in stages:
+    import os
+    for name, env_over, n, frames, budget in stages:
         if not wait_tpu():
             print("TPU never recovered; aborting", flush=True)
             return
+        env = dict(os.environ)
+        env.update(env_over)
         t0 = time.time()
         p = subprocess.run(
-            [sys.executable, "-c", STAGE_SRC, str(n), str(frames),
-             str(kcap), str(budget), nb],
-            capture_output=True, text=True, timeout=budget + 120)
+            [sys.executable, "-c", STAGE_SRC, str(n), str(budget),
+             str(frames)],
+            capture_output=True, text=True, timeout=budget + 120, env=env)
         out = (p.stdout + p.stderr).strip().splitlines()
         tail = [l for l in out if "RESULT" in l or "ALARM" in l
-                or "Error" in l or "error" in l][-3:]
-        print(f"{nb} n={n}: rc={p.returncode} wall={time.time()-t0:.0f}s "
-              f"{' | '.join(tail) if tail else out[-1] if out else ''}",
+                or "Error" in l][-2:]
+        print(f"{name} n={n}: rc={p.returncode} wall={time.time()-t0:.0f}s "
+              f"{' | '.join(tail) if tail else (out[-1] if out else '')}",
               flush=True)
 
 
