@@ -1,0 +1,87 @@
+"""Per-pass timing table on the TPU at 262k golden (VERDICT #2's ask):
+build_frame / pack_fields / pack_rows / fresh intervals / density / force.
+
+Each pass runs ITER times inside one lax.scan dispatch; a scalar seed is
+chained through the iterations (added at 1e-30 scale to a float input) so
+XLA can neither hoist the loop-invariant computation nor DCE it. One
+process, os._exit at the end to skip the worker-crashing teardown.
+"""
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+ITER = 20
+
+
+def main():
+    def on_alarm(*a):
+        print("ALARM", flush=True)
+        os._exit(9)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(2400)
+
+    import jax
+    import jax.numpy as jnp
+    from sphfluidsimulation_tpu.bench import scaled_config
+    from sphfluidsimulation_tpu.ops import pallas_sph as ps
+    from sphfluidsimulation_tpu.params import PhysParams
+    from sphfluidsimulation_tpu.sim.stepper import initial_state
+    from sphfluidsimulation_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    float(jnp.sum(jnp.ones(8)))
+    print("TPU up", flush=True)
+
+    cfg = scaled_config(1 << 18)
+    r, n = cfg.bucket_resolution, cfg.n_particles
+    phys = PhysParams.from_config(cfg)
+    state = initial_state(cfg)
+
+    frame, (pos_s, vel_s) = jax.jit(
+        lambda p: ps.build_frame(p, r, cfg.voxel_capacity,
+                                 extras=(p, jnp.zeros_like(p))))(state.pos)
+    rho_s = jax.jit(lambda f, p: ps.density_pallas(f, p, phys, r, n))(
+        frame, pos_s)
+    jax.block_until_ready(rho_s)
+
+    def tsum(x):
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree.leaves(x) if hasattr(l, "astype"))
+
+    def timed(name, seeded_fn):
+        """seeded_fn(seed_scalar) -> anything; seed feeds the next iter."""
+        def body(c, _):
+            return tsum(seeded_fn(c * 1e-30)) * 1e-30, None
+
+        f = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0.0), None,
+                                         length=ITER)[0])
+        float(f())  # compile + warm
+        t0 = time.perf_counter()
+        float(f())
+        dt = (time.perf_counter() - t0) / ITER * 1e3
+        print(f"{name}: {dt:.3f} ms", flush=True)
+
+    timed("build_frame+extras", lambda s: ps.build_frame(
+        state.pos + s, r, cfg.voxel_capacity,
+        extras=(state.pos, jnp.zeros_like(state.pos)))[0].cid)
+    timed("pack_fields", lambda s: ps.pack_fields(
+        frame, pos_s + s, vel_s, rho_s, n, r))
+    timed("pack_rows", lambda s: ps.pack_rows(
+        pos_s + s, vel_s, rho_s, frame.cid, n))
+    timed("fresh_intervals", lambda s: ps.fresh_force_intervals(
+        frame, pos_s + s, n, r)[0])
+    timed("density_kernel", lambda s: ps.density_pallas(
+        frame, pos_s + s, phys, r, n))
+    timed("force_full", lambda s: ps.forces_pallas(
+        frame, pos_s + s, vel_s, rho_s, phys, r, n)[0])
+    timed("unsort", lambda s: jnp.zeros_like(pos_s).at[frame.order]
+          .set(pos_s + s))
+    signal.alarm(0)
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
