@@ -21,15 +21,15 @@ Exactness: candidates are masked by Chebyshev(cell_j, fresh_cell_i) <= 1
 computed from each lane's actual cell — identical to the reference's
 bounds-checked 27-cell walk; since the window is a single contiguous
 range each candidate appears exactly once, so no dedup key is needed.
-The per-tile intervals cover the fresh window as long as a particle
-drifts <= 1 cell per axis within the frame (force intervals carry +-2
-lines of slack around the *stale* cell); rows that drift farther, and
-intervals truncated by the static window size, are counted into
-certificate outputs — when both counters are zero the result is exactly
-the reference candidate set. Sane configs keep them at zero
-(1-cell-per-frame drift needs speeds > h/frame_dt ~ 6.5 u/s in the golden
-scene); exploding configs degrade gracefully and visibly instead of
-silently.
+Force intervals are re-derived EVERY SUBSTEP from each row-tile's fresh
+cid span (fresh_force_intervals): always the narrow 9-line (e=1) walk,
+covering every particle whose within-frame drift stays <= 1 cell exactly
+(the span clamp that bounds one outlier's collateral); out-of-clamp rows
+and intervals truncated by the static window or the per-line cap are
+counted into certificate outputs — zero certificate == exactly the
+reference candidate set. Sane configs keep it at zero (1-cell-per-frame
+drift needs speeds > h/frame_dt ~ 6.5 u/s in the golden scene); exploding
+configs degrade gracefully and visibly instead of silently.
 
 Self-pairs are not skipped: grad_W_press(0) = 0 via the epsilon guard
 (VelPos.compute:37) and the viscosity term carries (v_i - v_i) = 0, so the
