@@ -8,9 +8,25 @@ worker has limited memory/stability), and always prints a single JSON line.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 import traceback
+
+
+class _StageTimeout(Exception):
+    pass
+
+
+def _arm(seconds: int) -> None:
+    """In-flight axon dispatches hang forever when the TPU worker crashes;
+    an alarm turns the hang into a fallback."""
+    def on_alarm(*a):
+        raise _StageTimeout("stage timed out")
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
 
 
 def _wait_tpu_recovery(max_wait: float = 420.0) -> None:
@@ -22,9 +38,12 @@ def _wait_tpu_recovery(max_wait: float = 420.0) -> None:
     t0 = time.time()
     while time.time() - t0 < max_wait:
         try:
+            _arm(60)
             float(jnp.sum(jnp.ones(8)))
+            signal.alarm(0)
             return
         except Exception:  # noqa: BLE001
+            signal.alarm(0)
             time.sleep(30)
 
 
@@ -35,16 +54,21 @@ def main() -> int:
     enable_compilation_cache()
 
     last_err = None
-    for n, frames, neighbor, kcap in ((1 << 20, 20, "pallas", None),
-                                      (1 << 18, 20, "pallas", None),
-                                      (1 << 18, 20, "sites", 16),
-                                      (1 << 16, 30, "slotted", None)):
+    _wait_tpu_recovery()  # a previous driver step may have crashed the worker
+    for n, frames, neighbor, kcap, budget in (
+            (1 << 20, 20, "pallas", None, 1800),
+            (1 << 18, 20, "pallas", None, 1200),
+            (1 << 18, 20, "sites", 16, 1200),
+            (1 << 16, 30, "slotted", None, 1200)):
         try:
+            _arm(budget)
             result = run_bench(n_particles=n, frames=frames,
                                neighbor=neighbor, site_capacity=kcap)
-            print(json.dumps(result))
-            return 0
+            signal.alarm(0)
+            print(json.dumps(result), flush=True)
+            os._exit(0)  # skip axon teardown (can crash the TPU worker)
         except Exception as e:  # noqa: BLE001 — must always emit one line
+            signal.alarm(0)
             last_err = f"{type(e).__name__}: {e}"
             traceback.print_exc(file=sys.stderr)
             _wait_tpu_recovery()
@@ -55,8 +79,8 @@ def main() -> int:
         "unit": "particle-substeps/s",
         "vs_baseline": 0.0,
         "error": last_err,
-    }))
-    return 0
+    }), flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":
