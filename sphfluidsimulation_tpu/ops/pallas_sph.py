@@ -149,7 +149,8 @@ def fields_rows(n: int, r: int) -> int:
 
 
 def build_frame(pos: jax.Array, r: int, capacity: int | None,
-                extras: tuple[jax.Array, ...] = ()
+                extras: tuple[jax.Array, ...] = (),
+                gid: jax.Array | None = None
                 ) -> tuple[SortedFrame, tuple[jax.Array, ...]]:
     """Sort by stale cell id and precompute line ranges (XLA, per frame).
 
@@ -187,7 +188,12 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
             extra_specs.append((len(flat_extras), e.shape[1]))
             flat_extras.extend(e[:, k] for k in range(e.shape[1]))
 
-    gid = jnp.arange(n, dtype=jnp.int32)
+    # gid is both the deterministic tie-break and the unsort key: the
+    # ORIGINAL particle id (callers holding already-permuted state — the
+    # sorted rollout — pass their id column so capacity ranks stay keyed
+    # to original ids, bit-identical across orderings)
+    if gid is None:
+        gid = jnp.arange(n, dtype=jnp.int32)
     sorted_ops = jax.lax.sort(
         (cid_key, gid, cid_raw, in_range.astype(jnp.int32), *flat_extras),
         num_keys=2, is_stable=False)  # (key, gid) pair makes ties unique

@@ -150,3 +150,19 @@ def test_corrected_mode_matches_slotted():
                                atol=2e-6)
     assert float(mp.mean_density) == pytest.approx(
         float(ms.mean_density), rel=1e-5)
+
+
+def test_sorted_rollout_matches_per_frame_stepping():
+    """The sorted-state rollout (no per-frame un-permute) must be BITWISE
+    identical to stepping frame by frame through the generic path."""
+    from sphfluidsimulation_tpu.sim.stepper import make_rollout
+
+    st = initial_state(CALM)
+    final, m = make_rollout(CALM, 3, neighbor="pallas")(st)
+    step = jax.jit(make_frame_step(CALM, neighbor="pallas"))
+    s = st
+    for _ in range(3):
+        s, _ = step(s)
+    np.testing.assert_array_equal(np.asarray(final.pos), np.asarray(s.pos))
+    np.testing.assert_array_equal(np.asarray(final.vel), np.asarray(s.vel))
+    assert int(m.exact_cert.sum()) == 0
