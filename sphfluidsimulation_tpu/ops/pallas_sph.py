@@ -61,14 +61,14 @@ _PI = math.pi
 import os as _os
 
 LANES = 128          # particles per field row
-ROWS_PER_TILE = int(_os.environ.get("SPH_PALLAS_ROWS", 32))
-TILES_PER_GROUP = int(_os.environ.get("SPH_PALLAS_TPG", 32))
+ROWS_PER_TILE = int(_os.environ.get("SPH_PALLAS_ROWS", 64))
+TILES_PER_GROUP = int(_os.environ.get("SPH_PALLAS_TPG", 16))
 N_FIELDS = 8         # x, y, z, cid_enc, vx, vy, vz, rho
 E_X = 2              # x-cell slack on candidate line ranges (force pass)
 N_LINES_FORCE = 25   # (dy, dz) in [-2, 2]^2 — covers 1-cell y/z drift
 N_LINES_DENS = 9     # (dy, dz) in [-1, 1]^2 — frame start, no drift
 W_FUDGE = float(_os.environ.get("SPH_PALLAS_W_FUDGE", 1.5))
-UNROLL = int(_os.environ.get("SPH_PALLAS_UNROLL", 2))
+UNROLL = int(_os.environ.get("SPH_PALLAS_UNROLL", 4))
 LINE_FUDGE = 4.0     # per-line chunk cap over the mean-occupancy estimate;
                      # longer lines are truncated + counted (certificate),
                      # bounding worst-case compute when exploding scenes
