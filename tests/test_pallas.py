@@ -166,3 +166,19 @@ def test_sorted_rollout_matches_per_frame_stepping():
     np.testing.assert_array_equal(np.asarray(final.pos), np.asarray(s.pos))
     np.testing.assert_array_equal(np.asarray(final.vel), np.asarray(s.vel))
     assert int(m.exact_cert.sum()) == 0
+
+
+def test_big_grid_sort_based_interval_lookup():
+    """r**3 > 2**14 activates the sort-based searchsorted lookup in
+    _line_intervals (the TPU-fast path); results must match brute."""
+    cfg = SimConfig(particle_number=2048, bucket_resolution=27, preset=0,
+                    gas_constant=20.0, rest_density=1.7, viscosity=0.05,
+                    stiffness_coefficient=1000.0, frame_dt=1 / 240)
+    st = initial_state(cfg)
+    sp, mp = jax.jit(make_frame_step(cfg, neighbor="pallas"))(st)
+    sb, mb = jax.jit(make_frame_step(cfg, neighbor="brute"))(st)
+    assert _cert(mp) == 0
+    np.testing.assert_allclose(np.asarray(sp.pos), np.asarray(sb.pos),
+                               atol=2e-6)
+    assert float(mp.mean_density) == pytest.approx(float(mb.mean_density),
+                                                   rel=1e-5)
