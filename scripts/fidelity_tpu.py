@@ -32,7 +32,7 @@ def _alarm(seconds: int) -> None:
     signal.alarm(seconds)
 
 
-def rollout_checkpoints(cfg, neighbor, state):
+def rollout_checkpoints(cfg, neighbor, state, max_chunk=100):
     import jax
     import jax.numpy as jnp
     from sphfluidsimulation_tpu.sim.stepper import make_rollout
@@ -40,15 +40,18 @@ def rollout_checkpoints(cfg, neighbor, state):
     out, cert, ovf, nan = {}, 0, 0, 0
     done = 0
     for upto in CHECKPOINTS:
-        k = upto - done
-        roll = make_rollout(cfg, k, neighbor=neighbor)
-        state, m = roll(state)
-        jax.block_until_ready(state.pos)
-        cert += int(jnp.sum(m.exact_cert))
-        ovf = max(ovf, int(jnp.max(m.overflow)))
-        nan += int(jnp.sum(m.nan_events))
+        # dispatch in <= max_chunk-frame scans: very long single scans at
+        # large N can fault the tunneled TPU worker
+        while done < upto:
+            k = min(upto - done, max_chunk)
+            roll = make_rollout(cfg, k, neighbor=neighbor)
+            state, m = roll(state)
+            jax.block_until_ready(state.pos)
+            cert += int(jnp.sum(m.exact_cert))
+            ovf = max(ovf, int(jnp.max(m.overflow)))
+            nan += int(jnp.sum(m.nan_events))
+            done += k
         out[upto] = state.pos
-        done = upto
     return out, {"cert": cert, "ovf_max": ovf, "nan": nan}
 
 
@@ -64,11 +67,21 @@ def main():
     from sphfluidsimulation_tpu.utils.compcache import enable_compilation_cache
 
     enable_compilation_cache()
+    only = sys.argv[1] if len(sys.argv) > 1 else "all"
 
     # ---- Part A: calm 1024, brute oracle
     calm = SimConfig(particle_number=1024, bucket_resolution=11, preset=0,
                      gas_constant=20.0, rest_density=1.7, viscosity=0.05,
                      stiffness_coefficient=1000.0, frame_dt=1 / 240)
+    if only in ("all", "a"):
+        _part_a(calm, np)
+    if only in ("all", "b"):
+        _part_b(np)
+
+
+def _part_a(calm, np):
+    from sphfluidsimulation_tpu.sim.stepper import initial_state
+
     st = initial_state(calm)
     _alarm(1800)
     ref, stats = rollout_checkpoints(calm, "brute", st)
@@ -84,6 +97,11 @@ def main():
             "part": "calm1024", "backend": nb,
             "rmse": {str(k): rmse(got[k], ref[k]) for k in CHECKPOINTS},
             **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
+
+
+def _part_b(np):
+    from sphfluidsimulation_tpu.config import SimConfig
+    from sphfluidsimulation_tpu.sim.stepper import initial_state
 
     # ---- Part B: golden 262k, slotted pin
     golden = SimConfig(particle_number=262144, bucket_resolution=47,
