@@ -100,6 +100,13 @@ class SimConfig:
     # (Bucket.compute:2); throughput configs dial it down (cost scales with
     # site_capacity² per window cell) and watch the certificate.
     site_capacity: int = 32
+    # Evaluation-grid (i-side) site capacity; None = same as site_capacity.
+    # The j-side is bounded by the reference's 32-candidate bucket cap, but
+    # FRESH voxels can transiently hold more distinct evaluation tuples
+    # than any stale voxel held candidates — raise this to keep the i-side
+    # certificate at zero on long rollouts without paying the j-side cost
+    # (window flops scale with site_capacity_i × site_capacity).
+    site_capacity_i: int | None = None
     # Noise seed offset (the reference noise is a pure function of position
     # and particle index; seed shifts the noise-domain offset).
     seed: int = 0

@@ -152,11 +152,20 @@ class ISites(NamedTuple):
 
 def _site_slots(keys: list[jax.Array], cid: jax.Array, n: int, s: int,
                 k: int, in_range: jax.Array | None):
-    """Shared dedup machinery: stable sort by (cid, *keys), site ranks
-    within each voxel, per-particle slot index (k·S + cid layout, sentinel
-    k·S). Returns (slot i32[N] sorted-order, order i32[N])."""
+    """Shared dedup machinery: stable sort by (cid[, member], *keys), site
+    ranks within each voxel, per-particle slot index (k·S + cid layout,
+    sentinel k·S). Returns (slot i32[N] sorted-order, order i32[N]).
+
+    When a member mask is given, members sort AHEAD of non-members within
+    each voxel so their site ranks never count ghost sites — capacity is
+    spent on contributing rows only.
+    """
     iota = lax.iota(jnp.int32, n)
-    ops = lax.sort((cid, *keys, iota), num_keys=1 + len(keys),
+    if in_range is None:
+        sort_keys = [cid, *keys]
+    else:
+        sort_keys = [cid, (~in_range).astype(jnp.int32), *keys]
+    ops = lax.sort((*sort_keys, iota), num_keys=len(sort_keys),
                    is_stable=True)
     sorted_cid, *sorted_keys, order = ops
     new = jnp.zeros(n, jnp.bool_).at[0].set(True)
@@ -203,7 +212,12 @@ def build_j_sites(stale_cid: jax.Array, in_cap: jax.Array, pos: jax.Array,
         keys.append(rho)
     if avisc:
         keys += [vel[:, 0], vel[:, 1], vel[:, 2]]
-    slot, order = _site_slots(keys, stale_cid, n, s, kj, member)
+    # site membership is gated on in_cap: rows dropped by the reference's
+    # bucket cap carry zero weight in EVERY field, so excluding them from
+    # slot competition is exact and guarantees kj == voxel_capacity always
+    # suffices (in-cap candidates per voxel <= cap >= distinct sites)
+    ms = in_cap if member is None else (member & in_cap)
+    slot, order = _site_slots(keys, stale_cid, n, s, kj, ms)
 
     w = in_cap[order].astype(jnp.float32)
 

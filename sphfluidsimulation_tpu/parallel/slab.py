@@ -311,7 +311,8 @@ def _exchange_j(j: sites.JSites, r: int, spec: SlabSpec, my,
 def _make_local_step(cfg: SimConfig, spec: SlabSpec, axis: str):
     r = cfg.bucket_resolution
     cap = cfg.voxel_capacity
-    ki = kj = cfg.site_capacity
+    kj = cfg.site_capacity
+    ki = cfg.site_capacity_i or kj
     xsph, alpha = cfg.xsph, cfg.artificial_viscosity
     use_x, use_a = xsph != 0.0, alpha != 0.0
     s_loc = (spec.slab_z + 2 * spec.halo) * r * r

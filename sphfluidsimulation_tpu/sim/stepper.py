@@ -221,7 +221,8 @@ def _make_sites_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
 
     r = cfg.bucket_resolution
     cap = cfg.voxel_capacity  # None → truly uncapped bucket membership
-    ki = kj = cfg.site_capacity
+    kj = cfg.site_capacity
+    ki = cfg.site_capacity_i or kj
     xsph, alpha = cfg.xsph, cfg.artificial_viscosity
 
     def frame_aux(pos, phys):

@@ -214,3 +214,23 @@ def test_uncapped_binding():
     pos, _ = _random_cloud(2048, seed=1, lo=0.48, hi=0.52)  # ultra dense
     cid, in_cap, ovf = sites.frame_binding(pos, 9, None)
     assert int(ovf) == 0 and bool(jnp.all(in_cap))
+
+
+def test_independent_i_capacity():
+    """site_capacity_i raises only the evaluation-grid capacity: a config
+    whose fresh voxels exceed site_capacity distinct tuples certifies at
+    ki == kj but not with a raised ki."""
+    rng = np.random.default_rng(3)
+    # many distinct positions packed into few voxels; the reference 32-cap
+    # bounds the j-side at 32 distinct candidates per voxel, but EVERY
+    # particle still needs an evaluation site (the i-side is uncapped)
+    pos = jnp.asarray(0.05 + 0.2 * rng.random((512, 3)), jnp.float32)
+    cfg = SimConfig(particle_number=512, bucket_resolution=9)
+    p = PhysParams.from_config(cfg)
+    cid, in_cap, _ = sites.frame_binding(pos, 9, 32)
+    # tight i-capacity: certificate fires
+    _, cert_small = sites.density_sites(pos, cid, in_cap, p, 9, 8, 32)
+    assert int(cert_small) > 0
+    # raised i-capacity: exact (512 covers any voxel's distinct tuples)
+    _, cert_big = sites.density_sites(pos, cid, in_cap, p, 9, 512, 32)
+    assert int(cert_big) == 0
