@@ -44,7 +44,6 @@ Collectives used: ``ppermute`` (halo + migration), ``psum``/``pmax``
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
