@@ -77,6 +77,8 @@ def main():
         _part_a(calm, np)
     if only in ("all", "b"):
         _part_b(np)
+    if only in ("all", "c"):
+        _part_c(np)
 
 
 def _part_a(calm, np):
@@ -132,3 +134,32 @@ def _part_b(np):
 if __name__ == "__main__":
     main()
     os._exit(0)  # skip axon-plugin teardown (crashes the TPU worker)
+
+
+def _part_c(np):
+    """Cross-backend 1000-step table at 65k (golden physics, R scaled).
+
+    262k sites/slotted dispatches destabilize the tunneled worker
+    (documented in BENCH_NOTES); 65k runs all three tiers reliably and
+    still exercises the at-scale code paths (same programs, smaller
+    shapes). Pin = pallas (zero-cert brute-tracking per Part A).
+    """
+    from sphfluidsimulation_tpu.bench import scaled_config
+    from sphfluidsimulation_tpu.sim.stepper import initial_state
+
+    cfg = scaled_config(1 << 16, site_capacity=32)
+    st = initial_state(cfg)
+    t0 = time.time()
+    _alarm(3600)
+    ref, stats = rollout_checkpoints(cfg, "pallas", st, max_chunk=45)
+    print(json.dumps({"part": "golden65k", "backend": "pallas(pin)",
+                      **stats, "wall_s": round(time.time() - t0, 1)}),
+          flush=True)
+    for nb in ("sites", "slotted"):
+        t0 = time.time()
+        _alarm(3600)
+        got, stats = rollout_checkpoints(cfg, nb, st, max_chunk=45)
+        print(json.dumps({
+            "part": "golden65k", "backend": nb,
+            "rmse": {str(k): rmse(got[k], ref[k]) for k in CHECKPOINTS},
+            **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
