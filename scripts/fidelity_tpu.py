@@ -131,11 +131,6 @@ def _part_b(np):
             **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
 
 
-if __name__ == "__main__":
-    main()
-    os._exit(0)  # skip axon-plugin teardown (crashes the TPU worker)
-
-
 def _part_c(np):
     """Cross-backend 1000-step table at 65k (golden physics, R scaled).
 
@@ -163,3 +158,8 @@ def _part_c(np):
             "part": "golden65k", "backend": nb,
             "rmse": {str(k): rmse(got[k], ref[k]) for k in CHECKPOINTS},
             **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)  # skip axon-plugin teardown (crashes the TPU worker)
