@@ -29,9 +29,10 @@ def _arm(seconds: int) -> None:
     signal.alarm(seconds)
 
 
-def _wait_tpu_recovery(max_wait: float = 420.0) -> None:
-    """After a 'TPU worker process crashed', the tunnel needs minutes to
-    recover; retry a trivial dispatch until the device answers."""
+def _wait_tpu_recovery(max_wait: float = 2400.0) -> None:
+    """After a 'TPU worker process crashed', the tunnel needs up to ~40
+    minutes to recover; retry a trivial dispatch until the device
+    answers."""
     import jax
     import jax.numpy as jnp
 
