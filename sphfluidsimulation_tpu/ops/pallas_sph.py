@@ -64,6 +64,7 @@ LANES = 128          # particles per field row
 ROWS_PER_TILE = int(_os.environ.get("SPH_PALLAS_ROWS", 64))
 TILES_PER_GROUP = int(_os.environ.get("SPH_PALLAS_TPG", 16))
 N_FIELDS = 8         # x, y, z, cid_enc, vx, vy, vz, rho
+OUT_LANES = 16       # kernel output lanes (<= 12 sums used; slim layout)
 E_X = 2              # x-cell slack on candidate line ranges (force pass)
 N_LINES_FORCE = 25   # (dy, dz) in [-2, 2]^2 — covers 1-cell y/z drift
 N_LINES_DENS = 9     # (dy, dz) in [-1, 1]^2 — frame start, no drift
@@ -299,11 +300,13 @@ def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
     tb_cell = jnp.clip(tc_hi[:, None] + off[None, :] + ex, 0,
                        r * r * r - 1)
     # start[q] == searchsorted(cid_s, q, 'left'); the sort-based method
-    # turns the [T, 2L] table gather (XLA TPU gather ≈ 0.1 GB/s effective —
-    # measured 2.9 ms per substep at 262k, ~11 ms at 1M) into one
-    # co-ranking sort of cid_s ++ queries. Small grids keep the gather
-    # (CPU tests, tiny configs).
-    if cid_s is not None and start.shape[0] > (1 << 14):
+    # replaces the [T, 2L] table gather with one co-ranking sort of
+    # cid_s ++ queries. A/B on v5e measured the GATHER faster at both 262k
+    # (12.9 vs 11.6M ps/s) and 1M (11.1 vs 10.1M) — the n-element sort
+    # costs more than these small structured gathers — so the sort path is
+    # opt-in (SPH_PALLAS_SS=1) for platforms where gathers are worse.
+    use_ss = _os.environ.get("SPH_PALLAS_SS", "0") == "1"
+    if use_ss and cid_s is not None and start.shape[0] > (1 << 14):
         q = jnp.concatenate([ta_cell.reshape(-1), tb_cell.reshape(-1) + 1])
         res = jnp.searchsorted(cid_s, q, side="left",
                                method="sort").astype(jnp.int32)
@@ -439,8 +442,8 @@ def pack_rows(pos_s: jax.Array, vel_s: jax.Array, rho_s: jax.Array,
     """Sorted SoA -> row-tile layout f32[T, 8, 128].
 
     Sublane = particle within its row-tile; lanes 0..7 hold the fields
-    (x, y, z, vx, vy, vz, rho, stale_cid); lanes 8+ are zero padding. Pad
-    particles get x=y=z=2 (out of cube -> empty window) and rho=0.
+    (x, y, z, vx, vy, vz, rho, stale_cid). Pad particles get x=y=z=2
+    (out of cube -> empty window) and rho=0.
     """
     npad = padded_n(n)
 
@@ -452,8 +455,10 @@ def pack_rows(pos_s: jax.Array, vel_s: jax.Array, rho_s: jax.Array,
             padf(vel_s[:, 1], 0.0), padf(vel_s[:, 2], 0.0),
             padf(rho_s, 0.0), padf(scid.astype(jnp.float32), -1.0)]
     rows = jnp.stack(cols, axis=1)                        # [Np, 8]
-    rows = rows.reshape(npad // ROWS_PER_TILE, ROWS_PER_TILE, N_FIELDS)
-    return jnp.pad(rows, ((0, 0), (0, 0), (0, LANES - N_FIELDS)))
+    # lanes stay at N_FIELDS (not padded to 128): Mosaic accepts blocks
+    # whose trailing dims equal the array dims, and the slim layout cuts
+    # the HBM traffic of the 6 per-frame packs by 16x
+    return rows.reshape(npad // ROWS_PER_TILE, ROWS_PER_TILE, N_FIELDS)
 
 
 def _decode_cell(cid, r: int):
@@ -659,9 +664,9 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
         acc = jax.lax.fori_loop(0, counts_ref[rt, 0], line_body, acc,
                                 unroll=False)
 
-        sums = [jnp.sum(a, axis=1, keepdims=True) for a in acc]   # (8,1) x k
+        sums = [jnp.sum(a, axis=1, keepdims=True) for a in acc]
         outv = jnp.concatenate(
-            sums + [jnp.zeros((ROWS_PER_TILE, LANES - len(sums)),
+            sums + [jnp.zeros((ROWS_PER_TILE, OUT_LANES - len(sums)),
                               jnp.float32)], axis=1)
         out_ref[rt] = outv
 
@@ -685,17 +690,18 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TILES_PER_GROUP, 1), lambda g: (g, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, LANES),
+            pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, N_FIELDS),
                          lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, LANES),
+        out_specs=pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, OUT_LANES),
                                lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (n_groups * TILES_PER_GROUP, ROWS_PER_TILE, LANES), jnp.float32),
+            (n_groups * TILES_PER_GROUP, ROWS_PER_TILE, OUT_LANES),
+            jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, w_rows, N_FIELDS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, N_FIELDS)),
@@ -746,7 +752,7 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     out = _call_kernel(N_LINES_DENS, True, r, window_rows(n, r, 2, E_X),
                        frame.win_f, tiles_fr, counts_fr, rows,
                        _scal(phys), fields, use_ext=use_ext)
-    flat = out.reshape(-1, LANES)[:n]
+    flat = out.reshape(-1, OUT_LANES)[:n]
     f_press = flat[:, 0:3]
     f_vis = flat[:, 3:6]
 

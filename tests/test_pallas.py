@@ -168,9 +168,12 @@ def test_sorted_rollout_matches_per_frame_stepping():
     assert int(m.exact_cert.sum()) == 0
 
 
-def test_big_grid_sort_based_interval_lookup():
-    """r**3 > 2**14 activates the sort-based searchsorted lookup in
-    _line_intervals (the TPU-fast path); results must match brute."""
+@pytest.mark.parametrize("ss", ["0", "1"])
+def test_big_grid_sort_based_interval_lookup(ss, monkeypatch):
+    """r**3 > 2**14 qualifies for the sort-based searchsorted lookup in
+    _line_intervals (opt-in, SPH_PALLAS_SS); both lookup paths must match
+    brute."""
+    monkeypatch.setenv("SPH_PALLAS_SS", ss)
     cfg = SimConfig(particle_number=2048, bucket_resolution=27, preset=0,
                     gas_constant=20.0, rest_density=1.7, viscosity=0.05,
                     stiffness_coefficient=1000.0, frame_dt=1 / 240)
