@@ -202,8 +202,10 @@ def build_j_sites(stale_cid: jax.Array, in_cap: jax.Array, pos: jax.Array,
 
     ``grid_s``/``member`` support slab-local grids (parallel/slab.py):
     ``stale_cid`` is then slab-local, the grid spans ``grid_s`` cells, and
-    ``member`` masks the rows allowed to occupy sites (owned + valid); rows
-    outside it neither hold slots nor count toward the certificate.
+    ``member`` restricts the rows allowed to occupy sites (owned + valid).
+    In every case slot competition is additionally gated on ``in_cap`` —
+    capacity-dropped rows carry zero weight in all fields, so excluding
+    them is exact and keeps kj == voxel_capacity sufficient.
     """
     n = pos.shape[0]
     s = grid_s if grid_s is not None else r * r * r
