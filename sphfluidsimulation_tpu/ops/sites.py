@@ -1,4 +1,10 @@
-"""Site-grid SPH backend — the round-2 throughput tier.
+"""Site-grid SPH backend — the exactness / decomposition tier.
+
+(Measured on v5e it is S = R³-bound at ~1.1-1.4M particle-substeps/s —
+slower than the pallas tier at golden occupancy, see BENCH_NOTES.md — but
+it is fresh-centered by construction, exact on explosive scenes, and its
+dense slab-local grids drive the multi-device decomposition in
+parallel/slab.py.)
 
 The reference walks, per particle, a 27-voxel window of a dense bucket table
 (Density.compute:42-57, VelPos.compute:67-98). Gather-based formulations of
