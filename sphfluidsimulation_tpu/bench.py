@@ -34,7 +34,7 @@ def scaled_config(n_particles: int,
 
 
 def run_bench(n_particles: int = 1 << 20, frames: int = 20,
-              warmup_frames: int = 5, neighbor: str = "sites",
+              warmup_frames: int = 5, neighbor: str = "pallas",
               site_capacity: int | None = None) -> dict:
     cfg = scaled_config(n_particles, site_capacity)
     state = initial_state(cfg)

@@ -85,6 +85,7 @@ def cmd_run(a) -> int:
     if a.export_dir:
         os.makedirs(a.export_dir, exist_ok=True)
 
+    exported: list[str] = []
     for _ in range(a.frames):
         scene.step()
         rec = log.log(scene.frame, scene.last_metrics)
@@ -95,19 +96,18 @@ def cmd_run(a) -> int:
             save_checkpoint(a.checkpoint, scene.state, scene.cfg,
                             frame=scene.frame)
         if export_every and scene.frame % export_every == 0:
-            _export_frame(scene, a.export_dir)
+            exported.append(_export_frame(scene, a.export_dir))
 
     if a.checkpoint:
         save_checkpoint(a.checkpoint, scene.state, scene.cfg,
                         frame=scene.frame)
         print(f"checkpoint → {a.checkpoint}")
     if a.animate:
-        import glob
-
         from .render.export import assemble_animation
-        frames = glob.glob(os.path.join(a.export_dir or ".", "frame_*.png"))
-        if frames:
-            print(f"animation → {assemble_animation(frames, a.animate)}")
+        # only the frames THIS run wrote — a glob would splice in stale
+        # frame_*.png files left in the directory by earlier runs
+        if exported:
+            print(f"animation → {assemble_animation(exported, a.animate)}")
         else:
             print("no exported frames to animate (use --export-dir)")
     last = log.history[-1] if log.history else {}
@@ -130,22 +130,40 @@ def _run_slab(a) -> int:
     from .sim.stepper import initial_state
     from .utils.metrics import MetricsLogger
 
+    # unsupported-in-slab-mode flags fail loudly instead of being silently
+    # dropped (the slab step has no corrected mode or frame-export hook)
+    unsupported = [flag for flag, on in (
+        ("--corrected", a.corrected), ("--export-dir", a.export_dir),
+        ("--animate", a.animate)) if on]
+    if unsupported:
+        print(f"{', '.join(unsupported)} not supported with --shards > 1",
+              file=sys.stderr)
+        return 2
+
     devs = jax.devices()
     if len(devs) < a.shards:
         print(f"need {a.shards} devices, have {len(devs)}; for a virtual "
               "mesh set XLA_FLAGS=--xla_force_host_platform_device_count="
               f"{a.shards} JAX_PLATFORMS=cpu", file=sys.stderr)
         return 2
-    cfg = _config_from_args(a)
+    start_frame = 0
+    if a.resume:
+        from .utils.checkpoint import load_checkpoint
+        state0, cfg, meta = load_checkpoint(a.resume)
+        start_frame = meta.get("frame", 0)
+        print(f"resumed frame {start_frame} from {a.resume}")
+    else:
+        cfg = _config_from_args(a)
+        state0 = initial_state(cfg)
     mesh = Mesh(np.array(devs[:a.shards]), ("sp",))
     step, spec = slab.make_slab_step(cfg, mesh, halo=a.halo,
                                      row_slack=a.row_slack)
     step = jax.jit(step)
     phys = PhysParams.from_config(cfg)
-    sst = slab.distribute(initial_state(cfg), cfg, spec, mesh)
+    sst = slab.distribute(state0, cfg, spec, mesh)
     log = MetricsLogger(a.metrics, n_particles=cfg.n_particles,
                         substeps=cfg.substeps)
-    for f in range(1, a.frames + 1):
+    for f in range(start_frame + 1, start_frame + a.frames + 1):
         sst, m = step(sst, phys)
         rec = log.log(f, m)
         if a.verbose:
@@ -153,28 +171,32 @@ def _run_slab(a) -> int:
     out, lost = slab.collect(sst, cfg.n_particles)
     if a.checkpoint:
         from .utils.checkpoint import save_checkpoint
-        save_checkpoint(a.checkpoint, out, cfg, frame=a.frames)
+        save_checkpoint(a.checkpoint, out, cfg,
+                        frame=start_frame + a.frames)
         print(f"checkpoint → {a.checkpoint}")
     last = log.history[-1] if log.history else {}
-    print(json.dumps({"frames": a.frames, "shards": a.shards,
+    print(json.dumps({"frames": start_frame + a.frames, "shards": a.shards,
                       "slab_z": spec.slab_z, "halo": spec.halo,
                       "rows_per_device": spec.cap_rows,
                       "lost": int(lost), **last}))
     return 0
 
 
-def _export_frame(scene, out_dir: str) -> None:
+def _export_frame(scene, out_dir: str) -> str:
     import numpy as np
 
     from .render.export import render_frame_png, save_png
     from .render.meshprops import RenderParams, speed_colors
 
     rp = RenderParams.from_config(scene.cfg)
-    colors = np.asarray(speed_colors(scene.state.vel, rp))
+    colors = np.asarray(speed_colors(scene.state.vel, rp,
+                                     nan_mask=scene.state.nan_count > 0))
     img = render_frame_png(np.asarray(scene.state.pos), colors,
                            sim_scale=scene.cfg.sim_scale,
                            particle_radius=scene.cfg.particle_radius)
-    save_png(os.path.join(out_dir, f"frame_{scene.frame:05d}.png"), img)
+    path = os.path.join(out_dir, f"frame_{scene.frame:05d}.png")
+    save_png(path, img)
+    return path
 
 
 def cmd_export(a) -> int:
@@ -186,7 +208,8 @@ def cmd_export(a) -> int:
 
     state, cfg, meta = load_checkpoint(a.checkpoint)
     rp = RenderParams.from_config(cfg)
-    colors = np.asarray(speed_colors(state.vel, rp))
+    colors = np.asarray(speed_colors(state.vel, rp,
+                                     nan_mask=state.nan_count > 0))
     pos = np.asarray(state.pos)
     if a.png:
         save_png(a.png, render_frame_png(

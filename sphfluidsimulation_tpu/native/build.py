@@ -49,6 +49,16 @@ def load_framecodec():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.c_int64]
+        if not hasattr(lib, "splat_points_alpha"):  # stale pre-alpha .so
+            if not _build():
+                return None
+            lib = ctypes.CDLL(_SO)
+        lib.splat_points_alpha.restype = ctypes.c_int64
+        lib.splat_points_alpha.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64]
         lib.write_ply_binary.restype = ctypes.c_int32
         lib.write_ply_binary.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
@@ -80,6 +90,27 @@ def splat_points_native(xy: np.ndarray, z: np.ndarray, r_px: np.ndarray,
     h, w, _ = img.shape
     return int(lib.splat_points(_fptr(xy), _fptr(z), _fptr(r_px),
                                 _u8ptr(rgb), len(z), _u8ptr(img), w, h))
+
+
+def splat_points_alpha_native(xy: np.ndarray, z: np.ndarray,
+                              r_px: np.ndarray, rgb: np.ndarray,
+                              alpha: np.ndarray,
+                              img: np.ndarray) -> int | None:
+    """Translucent rasterization (SrcAlpha src-over, exact painter order)
+    into ``img``; None when the native library is unavailable."""
+    lib = load_framecodec()
+    if lib is None or not hasattr(lib, "splat_points_alpha"):
+        return None
+    xy = np.ascontiguousarray(xy, np.float32)
+    z = np.ascontiguousarray(z, np.float32)
+    r_px = np.ascontiguousarray(r_px, np.float32)
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    alpha = np.ascontiguousarray(alpha, np.float32)
+    assert img.flags["C_CONTIGUOUS"] and img.dtype == np.uint8
+    h, w, _ = img.shape
+    return int(lib.splat_points_alpha(
+        _fptr(xy), _fptr(z), _fptr(r_px), _u8ptr(rgb), _fptr(alpha),
+        len(z), _u8ptr(img), w, h))
 
 
 def write_ply_native(path: str, pos: np.ndarray,

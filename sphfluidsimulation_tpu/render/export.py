@@ -70,7 +70,12 @@ def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
 
     # native rasterizer (sphfluidsimulation_tpu/native) when available —
     # the numpy path below is the behavioral reference and fallback
-    if not translucent:
+    if translucent:
+        from ..native.build import splat_points_alpha_native
+        if splat_points_alpha_native(xy, z, r_px, rgb8, alpha,
+                                     img) is not None:
+            return img
+    else:
         from ..native.build import splat_points_native
         if splat_points_native(xy, z, r_px, rgb8, img) is not None:
             return img
@@ -84,10 +89,28 @@ def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
     cs = rgb8[order]
     al = alpha[order]
 
+    if translucent:
+        # exact sequential src-over in global depth order: one particle at
+        # a time (python loop — the fallback when the native sequential
+        # compositor is unavailable; at most a few px² of work per splat)
+        for x0, y0, radius, c0, a0 in zip(xs, ys, rs, cs,
+                                          al.astype(np.float32)):
+            d = np.arange(-radius + 1, radius)
+            dx, dy = np.meshgrid(d, d, indexing="ij")
+            disc = (dx * dx + dy * dy) <= radius * radius
+            px = (x0 + dx[disc]).ravel()
+            py = (y0 + dy[disc]).ravel()
+            ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+            px, py = px[ok], py[ok]
+            base = img[py, px].astype(np.float32)
+            img[py, px] = (a0 * c0.astype(np.float32)
+                           + (1.0 - a0) * base).astype(np.uint8)
+        return img
+
     # Splat as filled discs bucketed by radius (vectorized per radius).
     for radius in np.unique(rs):
         sel = rs == radius
-        x0, y0, c0, a0 = xs[sel], ys[sel], cs[sel], al[sel]
+        x0, y0, c0 = xs[sel], ys[sel], cs[sel]
         d = np.arange(-radius + 1, radius)
         dx, dy = np.meshgrid(d, d, indexing="ij")
         disc = (dx * dx + dy * dy) <= radius * radius
@@ -96,16 +119,7 @@ def render_frame_png(pos_unit: np.ndarray, colors: np.ndarray, *,
         py = (y0[:, None] + dy[None, :]).ravel()
         pc = np.repeat(c0, len(dx), axis=0)
         ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
-        if translucent:
-            pa = np.repeat(a0, len(dx))[ok, None]
-            # sequential src-over within the bucket: python loop only over
-            # DISTINCT depth ranks would be exact; per-bucket vectorized
-            # compositing is the documented approximation
-            base = img[py[ok], px[ok]].astype(np.float32)
-            img[py[ok], px[ok]] = (pc[ok] * pa + base * (1.0 - pa)
-                                   ).astype(np.uint8)
-        else:
-            img[py[ok], px[ok]] = pc[ok]
+        img[py[ok], px[ok]] = pc[ok]
     return img
 
 

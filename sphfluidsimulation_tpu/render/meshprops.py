@@ -46,18 +46,42 @@ def world_positions(pos: jax.Array, rp: RenderParams) -> jax.Array:
     return pos * rp.sim_scale - rp.sim_scale * 0.5
 
 
-def speed_colors(vel: jax.Array, rp: RenderParams) -> jax.Array:
+# Alpha written to a NaN-trapped particle's velocity w channel
+# (VelPos.compute:146: vel = float4(0, 0, 0, 0.003)).
+NAN_MARKER_ALPHA = 0.003
+
+
+def speed_colors(vel: jax.Array, rp: RenderParams,
+                 nan_mask: jax.Array | None = None) -> jax.Array:
     """Blue→red speed ramp, RGBA f32[..., 4]
-    (UpdateMeshProperties.compute:62-63)."""
+    (UpdateMeshProperties.compute:62-63).
+
+    ``nan_mask`` (optional bool[...]) marks NaN-trapped particles with
+    alpha 0.003 — the reference's only visual failure signal. The reference
+    stores the marker in the velocity texture's w channel
+    (VelPos.compute:146) where it survives one substep; its
+    UpdateMeshProperties pass emits constant color alpha 1
+    (UpdateMeshProperties.compute:63), so the marker never reaches the
+    shader there — here it is surfaced on the instance color so trapped
+    particles are render-visible (near-transparent). Callers typically pass
+    ``state.nan_count > 0`` (ever-trapped) rather than the reference's
+    transient last-substep population.
+    """
     speed = jnp.linalg.norm(vel, axis=-1)
     t = jnp.clip((speed - rp.low_speed) / (rp.high_speed - rp.low_speed),
                  0.0, 1.0)
     blue = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32)
     red = jnp.array([1.0, 0.0, 0.0, 1.0], jnp.float32)
-    return blue + (red - blue) * t[..., None]
+    rgba = blue + (red - blue) * t[..., None]
+    if nan_mask is not None:
+        alpha = jnp.where(nan_mask, jnp.float32(NAN_MARKER_ALPHA),
+                          rgba[..., 3])
+        rgba = rgba.at[..., 3].set(alpha)
+    return rgba
 
 
-def mesh_properties(pos: jax.Array, vel: jax.Array, rp: RenderParams
+def mesh_properties(pos: jax.Array, vel: jax.Array, rp: RenderParams,
+                    nan_mask: jax.Array | None = None
                     ) -> tuple[jax.Array, jax.Array]:
     """(mat f32[N,4,4], color f32[N,4]) — the MeshProperties buffer."""
     wp = world_positions(pos, rp)
@@ -68,4 +92,4 @@ def mesh_properties(pos: jax.Array, vel: jax.Array, rp: RenderParams
     mat = mat.at[:, 0, 0].set(s).at[:, 1, 1].set(s).at[:, 2, 2].set(s)
     mat = mat.at[:, 0, 3].set(wp[:, 0]).at[:, 1, 3].set(wp[:, 1]) \
              .at[:, 2, 3].set(wp[:, 2])
-    return mat, speed_colors(vel, rp)
+    return mat, speed_colors(vel, rp, nan_mask)

@@ -47,9 +47,23 @@ def test_sweep(capsys):
 
 
 def test_run_slab_shards(tmp_path, capsys):
+    ck = str(tmp_path / "ck.npz")
     rc = main(["run", *TINY, "--neighbor", "sites", "--frames", "2",
-               "--shards", "4", "--row-slack", "8",
-               "--checkpoint", str(tmp_path / "ck.npz")])
+               "--shards", "4", "--row-slack", "8", "--checkpoint", ck])
     assert rc == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["shards"] == 4 and rec["lost"] == 0
+
+    # resume continues from the checkpointed frame (slab path honors it)
+    rc = main(["run", *TINY, "--neighbor", "sites", "--frames", "1",
+               "--shards", "4", "--row-slack", "8", "--resume", ck])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["frames"] == 3
+
+
+def test_run_slab_rejects_unsupported_flags(tmp_path, capsys):
+    rc = main(["run", *TINY, "--frames", "1", "--shards", "2",
+               "--corrected"])
+    assert rc == 2
+    assert "--corrected" in capsys.readouterr().err

@@ -38,25 +38,53 @@ def test_painters_order_near_wins():
     assert tuple(img[8, 8]) == (10, 20, 30)
 
 
-def test_native_matches_numpy_render():
+def _numpy_render(pos, col):
+    """render_frame_png with both native rasterizers disabled."""
+    from sphfluidsimulation_tpu.render.export import render_frame_png
+
+    import sphfluidsimulation_tpu.native.build as nb
+    orig = nb.splat_points_native, nb.splat_points_alpha_native
+    try:
+        nb.splat_points_native = lambda *a, **k: None
+        nb.splat_points_alpha_native = lambda *a, **k: None
+        return render_frame_png(pos, col)
+    finally:
+        nb.splat_points_native, nb.splat_points_alpha_native = orig
+
+
+@pytest.mark.parametrize("translucent", [False, True])
+def test_native_matches_numpy_render(translucent):
     from sphfluidsimulation_tpu.render.export import render_frame_png
 
     rng = np.random.default_rng(0)
     pos = rng.uniform(0, 1, (500, 3)).astype(np.float32)
     col = rng.uniform(0, 1, (500, 4)).astype(np.float32)
+    if not translucent:
+        col[:, 3] = 1.0
     native_img = render_frame_png(pos, col)  # takes the native path
-    # force the numpy path by monkeypatching the loader
-    import sphfluidsimulation_tpu.native.build as nb
-    orig = nb.splat_points_native
-    try:
-        nb.splat_points_native = lambda *a, **k: None
-        numpy_img = render_frame_png(pos, col)
-    finally:
-        nb.splat_points_native = orig
+    numpy_img = _numpy_render(pos, col)
     # identical pixel sets up to disc-edge rasterization differences:
     # demand >= 97% identical pixels and identical background
     same = (native_img == numpy_img).all(axis=-1).mean()
     assert same > 0.97
+
+
+def test_translucent_compositing_sequential():
+    """SrcAlpha src-over in depth order (InstancedIndirectColor.shader:6-7):
+    two coincident half-alpha discs must blend far-then-near, and the
+    native and numpy compositors must agree exactly on the stack."""
+    from sphfluidsimulation_tpu.native.build import splat_points_alpha_native
+
+    xy = np.array([[8.0, 8.0], [8.0, 8.0]], np.float32)
+    z = np.array([1.0, 3.0], np.float32)          # first is NEARER
+    r = np.array([3.0, 3.0], np.float32)
+    rgb = np.array([[200, 0, 0], [0, 200, 0]], np.uint8)
+    alpha = np.array([0.5, 0.5], np.float32)
+    img = np.zeros((16, 16, 3), np.uint8)
+    splat_points_alpha_native(xy, z, r, rgb, alpha, img)
+    # far green over black -> (0, 100, 0); near red over that ->
+    # (100, 50, 0)
+    assert tuple(img[8, 8]) == (100, 50, 0)
 
 
 def test_binary_ply(tmp_path):

@@ -104,3 +104,28 @@ def test_alpha_blended_splat(tmp_path):
     img_opaque = render_frame_png(pos, col[:, :3], width=64, height=64,
                                   particle_radius=0.05, background=(0, 0, 0))
     assert int(img_opaque[..., 0].max()) == 255
+
+
+def test_nan_marker_alpha():
+    """NaN-trapped particles get the reference's 0.003 marker alpha
+    (VelPos.compute:146) on the instance color; untouched particles keep
+    alpha 1 (UpdateMeshProperties.compute:63)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from sphfluidsimulation_tpu.config import TINY_CONFIG
+    from sphfluidsimulation_tpu.render.meshprops import (
+        NAN_MARKER_ALPHA, RenderParams, mesh_properties, speed_colors)
+
+    rp = RenderParams.from_config(TINY_CONFIG)
+    vel = jnp.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+    mask = jnp.array([True, False])
+    col = np.asarray(speed_colors(vel, rp, nan_mask=mask))
+    assert col[0, 3] == np.float32(NAN_MARKER_ALPHA)
+    assert col[1, 3] == 1.0
+    # flows through the MeshProperties buffer too
+    pos = jnp.full((2, 3), 0.5, jnp.float32)
+    _, col2 = mesh_properties(pos, vel, rp, nan_mask=mask)
+    assert np.asarray(col2)[0, 3] == np.float32(NAN_MARKER_ALPHA)
+    # and without a mask the channel stays constant 1 (reference behavior)
+    col3 = np.asarray(speed_colors(vel, rp))
+    assert (col3[:, 3] == 1.0).all()
