@@ -67,12 +67,13 @@ def main():
     timed("build_frame+extras", lambda s: ps.build_frame(
         state.pos + s, r, cfg.voxel_capacity,
         extras=(state.pos, jnp.zeros_like(state.pos)))[0].cid)
+    tune = ps.default_tuning()
     timed("pack_fields", lambda s: ps.pack_fields(
-        frame, pos_s + s, vel_s, rho_s, n, r))
+        frame, pos_s + s, vel_s, rho_s, n, r, tune))
     timed("pack_rows", lambda s: ps.pack_rows(
-        pos_s + s, vel_s, rho_s, frame.cid, n))
+        pos_s + s, vel_s, rho_s, frame.cid, n, tune))
     timed("fresh_intervals", lambda s: ps.fresh_force_intervals(
-        frame, pos_s + s, n, r)[0])
+        frame, pos_s + s, n, r, tune)[0])
     timed("density_kernel", lambda s: ps.density_pallas(
         frame, pos_s + s, phys, r, n))
     timed("force_full", lambda s: ps.forces_pallas(

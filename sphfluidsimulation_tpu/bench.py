@@ -35,18 +35,21 @@ def scaled_config(n_particles: int,
 
 def run_bench(n_particles: int = 1 << 20, frames: int = 20,
               warmup_frames: int = 5, neighbor: str = "pallas",
-              site_capacity: int | None = None) -> dict:
+              site_capacity: int | None = None, pallas_tune=None) -> dict:
+    from .ops.pallas_sph import default_tuning
+    tune = pallas_tune or default_tuning()
     cfg = scaled_config(n_particles, site_capacity)
     state = initial_state(cfg)
 
-    warm = make_rollout(cfg, warmup_frames, neighbor=neighbor)
+    warm = make_rollout(cfg, warmup_frames, neighbor=neighbor,
+                        pallas_tune=tune)
     t0 = time.perf_counter()
     out = warm(state)
     device_sync(out[0].pos)
     compile_s = time.perf_counter() - t0
     state = out[0]
 
-    roll = make_rollout(cfg, frames, neighbor=neighbor)
+    roll = make_rollout(cfg, frames, neighbor=neighbor, pallas_tune=tune)
     out = roll(state)          # separate compile for the timed length
     device_sync(out[0].pos)
     t0 = time.perf_counter()
@@ -70,6 +73,7 @@ def run_bench(n_particles: int = 1 << 20, frames: int = 20,
         "elapsed_s": round(elapsed, 3),
         "compile_plus_warmup_s": round(compile_s, 1),
         "neighbor": neighbor,
+        "pallas_tuning": (tune._asdict() if neighbor == "pallas" else None),
         "site_capacity": cfg.site_capacity if neighbor == "sites" else None,
         "exact_cert_total": cert,   # candidates/sites beyond capacity
         "overflow_max": ovf,        # bucket-capacity drops (reference quirk)

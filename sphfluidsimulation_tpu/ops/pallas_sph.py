@@ -54,26 +54,74 @@ from ..params import PhysParams
 
 _PI = math.pi
 
-# Layout constants. ROWS_PER_TILE / TILES_PER_GROUP are perf-tuning knobs
-# (env-overridable for sweeps): the per-(tile, interval) scalar-core loop
-# overhead (~0.4 us measured on v5e) argues for large tiles, VPU lane
-# utilization for small ones.
 import os as _os
 
 LANES = 128          # particles per field row
-ROWS_PER_TILE = int(_os.environ.get("SPH_PALLAS_ROWS", 64))
-TILES_PER_GROUP = int(_os.environ.get("SPH_PALLAS_TPG", 16))
 N_FIELDS = 8         # x, y, z, cid_enc, vx, vy, vz, rho
 OUT_LANES = 16       # kernel output lanes (<= 12 sums used; slim layout)
 E_X = 2              # x-cell slack on candidate line ranges (force pass)
 N_LINES_FORCE = 25   # (dy, dz) in [-2, 2]^2 — covers 1-cell y/z drift
 N_LINES_DENS = 9     # (dy, dz) in [-1, 1]^2 — frame start, no drift
-W_FUDGE = float(_os.environ.get("SPH_PALLAS_W_FUDGE", 1.5))
-UNROLL = int(_os.environ.get("SPH_PALLAS_UNROLL", 4))
-LINE_FUDGE = 4.0     # per-line chunk cap over the mean-occupancy estimate;
-                     # longer lines are truncated + counted (certificate),
-                     # bounding worst-case compute when exploding scenes
-                     # pile thousands of particles into wall cells
+
+
+class PallasTuning(NamedTuple):
+    """Performance knobs of the Pallas tier — explicit call parameters.
+
+    Every public entry point takes ``tune`` (None → :func:`default_tuning`);
+    the knobs travel with the call, so two differently-tuned pipelines can
+    coexist in one process, and bench output records the exact values used
+    (VERDICT round 2 item 5 — formerly import-time ``SPH_PALLAS_*`` module
+    globals).
+
+    * ``rows_per_tile`` / ``tiles_per_group``: sorted-particle tile and
+      group geometry. The per-(tile, interval) scalar-core loop overhead
+      (~0.4 us measured on v5e) argues for large tiles, VPU lane
+      utilization for small ones.
+    * ``unroll``: candidate chunks evaluated per dynamic-address loop
+      iteration (tail chunks are lane-gated).
+    * ``w_fudge``: candidate-window safety factor over the mean-occupancy
+      estimate. Shrinking it (1.25 measured +4.6% at 1M) trades the
+      zero-truncation guarantee on calm configs for speed.
+    * ``line_fudge``: per-line chunk cap over the mean-occupancy estimate;
+      longer lines are truncated + counted (certificate), bounding
+      worst-case compute when exploding scenes pile thousands of
+      particles into wall cells.
+    * ``sort_lookup``: co-ranking-sort interval lookup instead of table
+      gathers (A/B'd slower on v5e; opt-in for gather-hostile platforms).
+    * ``fused``: single-dispatch substep (forces + wall + integrate in one
+      kernel, rows-layout state) instead of the v6 sums-output kernel +
+      XLA integrate tail.
+    """
+
+    rows_per_tile: int = 64
+    tiles_per_group: int = 16
+    unroll: int = 4
+    w_fudge: float = 1.5
+    line_fudge: float = 4.0
+    sort_lookup: bool = False
+    fused: bool = True
+
+    @classmethod
+    def from_env(cls) -> "PallasTuning":
+        """Read ``SPH_PALLAS_*`` overrides (sweep-script convenience)."""
+        d = cls()
+        return cls(
+            rows_per_tile=int(_os.environ.get("SPH_PALLAS_ROWS",
+                                              d.rows_per_tile)),
+            tiles_per_group=int(_os.environ.get("SPH_PALLAS_TPG",
+                                                d.tiles_per_group)),
+            unroll=int(_os.environ.get("SPH_PALLAS_UNROLL", d.unroll)),
+            w_fudge=float(_os.environ.get("SPH_PALLAS_W_FUDGE", d.w_fudge)),
+            line_fudge=float(_os.environ.get("SPH_PALLAS_LINE_FUDGE",
+                                             d.line_fudge)),
+            sort_lookup=_os.environ.get("SPH_PALLAS_SS", "0") == "1",
+            fused=_os.environ.get("SPH_PALLAS_FUSED", "1") == "1",
+        )
+
+
+def default_tuning() -> PallasTuning:
+    """Call-time default: env overrides resolved when used, not at import."""
+    return PallasTuning.from_env()
 
 
 def _interpret() -> bool:
@@ -120,38 +168,48 @@ def _pad_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def padded_n(n: int) -> int:
+def padded_n(n: int, tune: PallasTuning) -> int:
     # group granularity (128 particles) == field-row granularity (128 lanes)
-    return _pad_to(n, TILES_PER_GROUP * ROWS_PER_TILE)
+    return _pad_to(n, tune.tiles_per_group * tune.rows_per_tile)
 
 
-def window_rows(n: int, r: int, e: int, ex: int) -> int:
+def window_rows(n: int, r: int, e: int, ex: int, tune: PallasTuning,
+                occ_hint: float | None = None) -> int:
     """Static per-group candidate-window size (128-particle rows).
 
     A group's window is ONE contiguous sorted range covering every
     (dy, dz) ∈ [-e, e]² candidate line of its particles: the group's stale
     cid span plus 2·(e·(r² + r) + ex + 1) cells of symmetric margin. Sized
-    from mean occupancy with a W_FUDGE safety factor; frames whose actual
+    from mean occupancy with a w_fudge safety factor; frames whose actual
     window exceeds it degrade visibly via the clip certificate.
+    ``occ_hint`` overrides the mean-occupancy estimate — the slab tier
+    passes the GLOBAL N/R³ (its local row count over R³ would undersize
+    the window).
     """
-    occ = n / float(r * r * r)
-    gp = TILES_PER_GROUP * ROWS_PER_TILE
+    occ = occ_hint if occ_hint is not None else n / float(r * r * r)
+    gp = tune.tiles_per_group * tune.rows_per_tile
     margin_cells = 2 * (e * (r * r + r) + ex + 1)
     est = gp + margin_cells * occ + 2 * LANES
-    rows = int(math.ceil(W_FUDGE * est / LANES))
-    return min(rows, _pad_to(padded_n(n), LANES) // LANES + 1)
+    rows = int(math.ceil(tune.w_fudge * est / LANES))
+    return min(rows, _pad_to(padded_n(n, tune), LANES) // LANES + 1)
 
 
-def fields_rows(n: int, r: int) -> int:
+def fields_rows(n: int, r: int, tune: PallasTuning,
+                occ_hint: float | None = None) -> int:
     """Total rows of the packed fields array: the padded particle rows plus
     guard rows so every clamped window fetch [base, base + W) is in-bounds."""
-    w = max(window_rows(n, r, 2, E_X), window_rows(n, r, 1, 1))
-    return max(padded_n(n) // LANES + 1, w)
+    w = max(window_rows(n, r, 2, E_X, tune, occ_hint),
+            window_rows(n, r, 1, 1, tune, occ_hint))
+    return max(padded_n(n, tune) // LANES + 1, w)
 
 
 def build_frame(pos: jax.Array, r: int, capacity: int | None,
                 extras: tuple[jax.Array, ...] = (),
-                gid: jax.Array | None = None
+                gid: jax.Array | None = None,
+                tune: PallasTuning | None = None, *,
+                band: tuple[jax.Array, int] | None = None,
+                valid: jax.Array | None = None,
+                occ_hint: float | None = None
                 ) -> tuple[SortedFrame, tuple[jax.Array, ...]]:
     """Sort by stale cell id and precompute line ranges (XLA, per frame).
 
@@ -165,19 +223,46 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
     (e.g. positions/velocities) — sorted as sort *operands* rather than
     gathered afterward, because XLA's TPU gather is ~80x off memory peak
     while the sort network moves operands at full bandwidth.
+
+    Slab mode (parallel/slab_pallas.py): ``band=(zbase, z_span)`` restricts
+    the cell-id space to ``z_span`` z-planes starting at the (traced)
+    plane ``zbase`` — local flat ids are x + y·R + (z − zbase)·R², every
+    O(R³) table becomes O(z_span·R²), and candidates still advertise their
+    GLOBAL raw id so the kernel's window mask is unchanged. ``valid``
+    masks live rows (dead row-buffer slots sort past every live cell and
+    never become candidates). Rows whose stale anchor falls outside the
+    band are clamped in and counted into ``clip_count``.
     """
+    tune = tune or default_tuning()
     n = pos.shape[0]
-    npad = padded_n(n)
-    n_groups = npad // (TILES_PER_GROUP * ROWS_PER_TILE)
+    npad = padded_n(n, tune)
+    n_groups = npad // (tune.tiles_per_group * tune.rows_per_tile)
 
     cell = (pos * (r - 1)).astype(jnp.int32)
     cid_raw = cell[:, 0] + cell[:, 1] * r + cell[:, 2] * (r * r)
     in_range = (cid_raw >= 0) & (cid_raw < r * r * r)
+    if valid is not None:
+        in_range = in_range & valid
     # anchor = clamped-3D cell: always a valid id, adjacent to the row's
     # valid window cells even for out-of-cube spawn positions
     anchor_cell = jnp.clip(cell, 0, r - 1)
-    cid_key = (anchor_cell[:, 0] + anchor_cell[:, 1] * r
-               + anchor_cell[:, 2] * (r * r))
+    band_cert = jnp.int32(0)
+    if band is None:
+        s_cells = r * r * r
+        cid_key = (anchor_cell[:, 0] + anchor_cell[:, 1] * r
+                   + anchor_cell[:, 2] * (r * r))
+    else:
+        zbase, z_span = band
+        s_cells = z_span * r * r
+        lz = anchor_cell[:, 2] - zbase
+        lz_c = jnp.clip(lz, 0, z_span - 1)
+        if valid is not None:
+            band_cert = jnp.sum((valid & (lz != lz_c)).astype(jnp.int32))
+        cid_key = (anchor_cell[:, 0] + anchor_cell[:, 1] * r
+                   + lz_c * (r * r))
+    if valid is not None:
+        # dead rows sort past every live cell (sentinel id s_cells)
+        cid_key = jnp.where(valid, cid_key, s_cells)
 
     flat_extras: list[jax.Array] = []
     extra_specs: list[tuple[int, int]] = []  # (start, ncols) into flat list
@@ -218,28 +303,31 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
         occ = occ & (rank < capacity)
 
     start = jnp.searchsorted(
-        cid_s, jnp.arange(r * r * r + 1, dtype=jnp.int32), side="left"
+        cid_s, jnp.arange(s_cells + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
     # group stale spans (over real particles; padded tail groups clamp)
-    g_first = jnp.minimum(
-        jnp.arange(n_groups, dtype=jnp.int32) * (TILES_PER_GROUP * ROWS_PER_TILE),
-        n - 1)
-    g_last = jnp.minimum(g_first + TILES_PER_GROUP * ROWS_PER_TILE - 1, n - 1)
-    gc_lo = jnp.minimum(cid_s[g_first], r * r * r - 1)
-    gc_hi = jnp.minimum(cid_s[g_last], r * r * r - 1)
+    gp = tune.tiles_per_group * tune.rows_per_tile
+    g_first = jnp.minimum(jnp.arange(n_groups, dtype=jnp.int32) * gp, n - 1)
+    g_last = jnp.minimum(g_first + gp - 1, n - 1)
+    gc_lo = jnp.minimum(cid_s[g_first], s_cells - 1)
+    gc_hi = jnp.minimum(cid_s[g_last], s_cells - 1)
 
-    # tile stale cid spans (one row-tile = ROWS_PER_TILE sorted particles)
-    n_tiles = npad // ROWS_PER_TILE
+    # tile stale cid spans (one row-tile = rows_per_tile sorted particles)
+    n_tiles = npad // tune.rows_per_tile
     t_first = jnp.minimum(
-        jnp.arange(n_tiles, dtype=jnp.int32) * ROWS_PER_TILE, n - 1)
-    t_last = jnp.minimum(t_first + ROWS_PER_TILE - 1, n - 1)
-    tc_lo = jnp.minimum(cid_s[t_first], r * r * r - 1)
-    tc_hi = jnp.minimum(cid_s[t_last], r * r * r - 1)
+        jnp.arange(n_tiles, dtype=jnp.int32) * tune.rows_per_tile, n - 1)
+    t_last = jnp.minimum(t_first + tune.rows_per_tile - 1, n - 1)
+    tc_lo = jnp.minimum(cid_s[t_first], s_cells - 1)
+    tc_hi = jnp.minimum(cid_s[t_last], s_cells - 1)
     tile_is_pad = (jnp.arange(n_tiles, dtype=jnp.int32)
-                   * ROWS_PER_TILE) >= n
+                   * tune.rows_per_tile) >= n
+    if valid is not None:
+        # a tile whose first sorted row is a dead slot holds only dead
+        # slots (they sort last): skip its interval walks entirely
+        tile_is_pad = tile_is_pad | (cid_s[t_first] >= s_cells)
 
-    nb_tot = fields_rows(n, r)
+    nb_tot = fields_rows(n, r, tune, occ_hint)
 
     def window_bases(n_lines: int, span: int, ex: int, w_rows: int):
         """Per-group window base: ONE contiguous sorted range per group
@@ -247,7 +335,7 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
         k = jnp.arange(n_lines, dtype=jnp.int32)
         off = (k % span - span // 2) * r + (k // span - span // 2) * (r * r)
         a_cell_g = jnp.clip(gc_lo[:, None] + off[None, :] - ex, 0,
-                            r * r * r - 1)
+                            s_cells - 1)
         a_g = start[a_cell_g]
         wlo = jnp.min(a_g, axis=1) // LANES
         wbase = jnp.clip(jnp.minimum(wlo, nb_tot - w_rows), 0, None)
@@ -261,13 +349,14 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
     # force pass: the window is sized/based for the STALE e=2 envelope so
     # the per-substep FRESH e=1 line ranges (forces_pallas) stay inside it
     # for any drift <= 1 cell; deeper drift under-coverage is certified
-    w_f = window_rows(n, r, 2, E_X)
-    w_d = window_rows(n, r, 1, 1)
+    w_f = window_rows(n, r, 2, E_X, tune, occ_hint)
+    w_d = window_rows(n, r, 1, 1, tune, occ_hint)
     win_f, _ = window_bases(N_LINES_FORCE, 5, E_X, w_f)
     win_d, wbase_d = window_bases(N_LINES_DENS, 3, 1, w_d)
     tiles_d, counts_d, clip_d = _line_intervals(
         tc_lo, tc_hi, tile_is_pad, start, wbase_d, N_LINES_DENS, 3, 1,
-        w_d, n, r, cid_s=cid_s)
+        w_d, n, r, tune, cid_s=cid_s, s_cells=s_cells, occ_hint=occ_hint)
+    clip_d = clip_d + band_cert
 
     frame = SortedFrame(order=order, cid=cid_s, raw=raw_s, occ=occ,
                         start=start, win_f=win_f, win_d=win_d,
@@ -280,7 +369,8 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
 
 def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
                     span: int, ex: int, w_rows: int, n: int, r: int,
-                    cid_s=None):
+                    tune: PallasTuning, cid_s=None, s_cells: int | None = None,
+                    occ_hint: float | None = None):
     """Merged disjoint per-row-tile chunk intervals for a line family.
 
     Each row-tile walks [k0, k1) chunk ranges (128-lane rows of the sorted
@@ -295,18 +385,17 @@ def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
     dz = k // span - span // 2
     off = dy * r + dz * (r * r)  # strictly increasing with k (r > 4)
 
-    ta_cell = jnp.clip(tc_lo[:, None] + off[None, :] - ex, 0,
-                       r * r * r - 1)
-    tb_cell = jnp.clip(tc_hi[:, None] + off[None, :] + ex, 0,
-                       r * r * r - 1)
+    if s_cells is None:
+        s_cells = r * r * r
+    ta_cell = jnp.clip(tc_lo[:, None] + off[None, :] - ex, 0, s_cells - 1)
+    tb_cell = jnp.clip(tc_hi[:, None] + off[None, :] + ex, 0, s_cells - 1)
     # start[q] == searchsorted(cid_s, q, 'left'); the sort-based method
     # replaces the [T, 2L] table gather with one co-ranking sort of
     # cid_s ++ queries. A/B on v5e measured the GATHER faster at both 262k
     # (12.9 vs 11.6M ps/s) and 1M (11.1 vs 10.1M) — the n-element sort
     # costs more than these small structured gathers — so the sort path is
     # opt-in (SPH_PALLAS_SS=1) for platforms where gathers are worse.
-    use_ss = _os.environ.get("SPH_PALLAS_SS", "0") == "1"
-    if use_ss and cid_s is not None and start.shape[0] > (1 << 14):
+    if tune.sort_lookup and cid_s is not None and start.shape[0] > (1 << 14):
         q = jnp.concatenate([ta_cell.reshape(-1), tb_cell.reshape(-1) + 1])
         res = jnp.searchsorted(cid_s, q, side="left",
                                method="sort").astype(jnp.int32)
@@ -315,7 +404,7 @@ def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
     else:
         ta = start[ta_cell]
         tb = start[tb_cell + 1]
-    wbase_t = jnp.repeat(wbase, TILES_PER_GROUP, axis=0)[:, None]
+    wbase_t = jnp.repeat(wbase, tune.tiles_per_group, axis=0)[:, None]
     k0 = ta // LANES - wbase_t
     k1 = -(-tb // LANES) - wbase_t
     k1 = jnp.where(tb <= ta, k0, k1)             # truly empty lines
@@ -323,9 +412,9 @@ def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
     # per-line chunk cap: bounds worst-case compute when exploding
     # scenes pile thousands of particles into wall cells (the analogue
     # of the reference's 32-slot walk bound, Bucket.compute:30-35)
-    occ_mean = n / float(r * r * r)
-    est = ROWS_PER_TILE + (2 * ex + 2) * occ_mean + LANES
-    line_cap = max(2, int(math.ceil(LINE_FUDGE * est / LANES)))
+    occ_mean = occ_hint if occ_hint is not None else n / float(r * r * r)
+    est = tune.rows_per_tile + (2 * ex + 2) * occ_mean + LANES
+    line_cap = max(2, int(math.ceil(tune.line_fudge * est / LANES)))
     # truncation certificate: any live interval cut by the static window,
     # the line cap, or the window base marks the frame as not-exact
     clipped = jnp.sum(
@@ -366,7 +455,9 @@ def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
 
 
 def fresh_force_intervals(frame: SortedFrame, pos_s: jax.Array, n: int,
-                          r: int):
+                          r: int, tune: PallasTuning,
+                          band: tuple[jax.Array, int] | None = None,
+                          occ_hint: float | None = None):
     """Per-substep force intervals from each tile's FRESH cid span.
 
     The stale 25-line structure existed to pre-cover ±1 cell of drift;
@@ -380,33 +471,50 @@ def fresh_force_intervals(frame: SortedFrame, pos_s: jax.Array, n: int,
     contract of the 25-line design, at 9-line cost). Spec:
     VelPos.compute:57-58 (fresh window centers) + :67-81 (candidate walk).
     """
-    npad = padded_n(n)
+    npad = padded_n(n, tune)
     cell = jnp.clip((pos_s * (r - 1)).astype(jnp.int32), 0, r - 1)
-    fcid = cell[:, 0] + cell[:, 1] * r + cell[:, 2] * (r * r)
+    if band is None:
+        s_cells = r * r * r
+        fcid = cell[:, 0] + cell[:, 1] * r + cell[:, 2] * (r * r)
+    else:
+        zbase, z_span = band
+        s_cells = z_span * r * r
+        lzf = jnp.clip(cell[:, 2] - zbase, 0, z_span - 1)
+        fcid = cell[:, 0] + cell[:, 1] * r + lzf * (r * r)
+    # dead row-buffer slots (slab mode: sentinel stale id) must not widen
+    # their tile's fresh span; the masked min/max below ignores them
+    live = frame.cid < s_cells
     # pad with the last real particle's cell: keeps the final mixed tile's
     # span tight instead of inflating it to the corner cell
     fcid = jnp.concatenate(
         [fcid, jnp.broadcast_to(fcid[n - 1:n], (npad - n,))])
-    ft = fcid.reshape(-1, ROWS_PER_TILE)
+    live = jnp.concatenate([live, jnp.zeros(npad - n, bool)])         if npad > n else live
+    ft = fcid.reshape(-1, tune.rows_per_tile)
+    lt = live.reshape(-1, tune.rows_per_tile)
+    big = jnp.int32(1 << 30)
     m_allow = r * r + r + 1
     lo_allow = frame.tile_lo - m_allow
     hi_allow = frame.tile_hi + m_allow
-    tc_lo = jnp.clip(jnp.min(ft, axis=1), lo_allow, hi_allow)
-    tc_hi = jnp.clip(jnp.max(ft, axis=1), lo_allow, hi_allow)
+    tc_lo = jnp.clip(jnp.min(jnp.where(lt, ft, big), axis=1),
+                     lo_allow, hi_allow)
+    tc_hi = jnp.clip(jnp.max(jnp.where(lt, ft, -big), axis=1),
+                     lo_allow, hi_allow)
     # per-row drift certificate: fresh cell outside the tile's allowed band
     out_of_band = ((ft < lo_allow[:, None]) | (ft > hi_allow[:, None]))
-    out_of_band = out_of_band & ~frame.tile_is_pad[:, None]
+    out_of_band = out_of_band & lt & ~frame.tile_is_pad[:, None]
     drift_cert = jnp.sum(out_of_band.astype(jnp.int32))
     wbase = frame.win_f[:-1, 0, 0]
     tiles, counts, clipped = _line_intervals(
         tc_lo, tc_hi, frame.tile_is_pad, frame.start, wbase,
-        N_LINES_DENS, 3, 1, window_rows(n, r, 2, E_X), n, r,
-        cid_s=frame.cid)
+        N_LINES_DENS, 3, 1, window_rows(n, r, 2, E_X, tune, occ_hint),
+        n, r, tune, cid_s=frame.cid, s_cells=s_cells, occ_hint=occ_hint)
     return tiles, counts, clipped + drift_cert
 
 
 def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
-                rho_s: jax.Array, n: int, r: int) -> jax.Array:
+                rho_s: jax.Array, n: int, r: int,
+                tune: PallasTuning,
+                occ_hint: float | None = None) -> jax.Array:
     """Sorted SoA -> f32[fields_rows(n, r), 8, 128] field rows
     (lane = particle).
 
@@ -414,7 +522,7 @@ def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     (reproducing the capacity drop, Bucket.compute:30-35). Trailing guard
     rows keep the fixed-size window DMAs in-bounds.
     """
-    npad = padded_n(n)
+    npad = padded_n(n, tune)
     # candidates advertise their RAW cell — what the reference's bucket
     # walk sees (aliased ids decode to far-away cells and contribute zero)
     cid_enc = jnp.where(frame.occ, frame.raw, -1).astype(jnp.float32)
@@ -431,34 +539,41 @@ def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     # minor-dim-8 relayout runs at ~1 GB/s). The kernel instead issues one
     # window DMA per field, interleaving into the row-major scratch.
     fields = jnp.stack(cols, axis=0).reshape(N_FIELDS, npad // LANES, LANES)
-    n_guard = fields_rows(n, r) - npad // LANES
+    n_guard = fields_rows(n, r, tune, occ_hint) - npad // LANES
     guard = jnp.zeros((N_FIELDS, n_guard, LANES), jnp.float32)
     guard = guard.at[3].set(-1.0)
     return jnp.concatenate([fields, guard], axis=1)
 
 
 def pack_rows(pos_s: jax.Array, vel_s: jax.Array, rho_s: jax.Array,
-              scid: jax.Array, n: int) -> jax.Array:
-    """Sorted SoA -> row-tile layout f32[T, 8, 128].
+              aux: jax.Array | None, n: int,
+              tune: PallasTuning) -> jax.Array:
+    """Sorted SoA -> row-tile layout f32[T, R, 8].
 
     Sublane = particle within its row-tile; lanes 0..7 hold the fields
-    (x, y, z, vx, vy, vz, rho, stale_cid). Pad particles get x=y=z=2
-    (out of cube -> empty window) and rho=0.
+    (x, y, z, vx, vy, vz, rho, aux). Pad particles get x=y=z=2 (out of
+    cube -> empty window) and rho=0. ``aux`` is a per-particle carry lane
+    the pair math never reads — the fused substep kernel keeps the
+    cumulative NaN-trap count there (VelPos.compute:143-147's per-particle
+    failure signal); None packs zeros.
     """
-    npad = padded_n(n)
+    npad = padded_n(n, tune)
 
     def padf(a, fill):
         return jnp.pad(a, (0, npad - n), constant_values=fill)
 
+    if aux is None:
+        aux = jnp.zeros(n, jnp.float32)
     cols = [padf(pos_s[:, 0], 2.0), padf(pos_s[:, 1], 2.0),
             padf(pos_s[:, 2], 2.0), padf(vel_s[:, 0], 0.0),
             padf(vel_s[:, 1], 0.0), padf(vel_s[:, 2], 0.0),
-            padf(rho_s, 0.0), padf(scid.astype(jnp.float32), -1.0)]
+            padf(rho_s, 0.0), padf(aux.astype(jnp.float32), 0.0)]
     rows = jnp.stack(cols, axis=1)                        # [Np, 8]
     # lanes stay at N_FIELDS (not padded to 128): Mosaic accepts blocks
     # whose trailing dims equal the array dims, and the slim layout cuts
     # the HBM traffic of the 6 per-frame packs by 16x
-    return rows.reshape(npad // ROWS_PER_TILE, ROWS_PER_TILE, N_FIELDS)
+    return rows.reshape(npad // tune.rows_per_tile, tune.rows_per_tile,
+                        N_FIELDS)
 
 
 def _decode_cell(cid, r: int):
@@ -478,7 +593,9 @@ def _decode_cell(cid, r: int):
 
 
 def _sph_kernel(n_lines: int, force: bool, r: int,
-                use_ext: bool, w_rows: int, win_ref, win_nxt_ref, tiles_ref,
+                use_ext: bool, w_rows: int, tune: PallasTuning,
+                fused: bool,
+                win_ref, win_nxt_ref, tiles_ref,
                 counts_ref, rows_ref, scal_ref, fields_ref, out_ref,
                 scratch, sems):
     """One group: DMA the group's single candidate window, evaluate
@@ -528,7 +645,7 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
     c_grad = jnp.float32(45.0 / _PI)
     cs = jnp.sqrt(gas_k)
 
-    for rt in range(TILES_PER_GROUP):
+    for rt in range(tune.tiles_per_group):
         rows = rows_ref[rt]                                # (8, 128)
         rx = rows[:, 0:1]
         ry = rows[:, 1:2]
@@ -551,10 +668,10 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             rrho = rows[:, 6:7]
             press_i = gas_k * (rrho - rho0)
             n_acc = 12 if use_ext else 6
-            acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)
+            acc = [jnp.zeros((tune.rows_per_tile, LANES), jnp.float32)
                    for _ in range(n_acc)]
         else:
-            acc = [jnp.zeros((ROWS_PER_TILE, LANES), jnp.float32)]
+            acc = [jnp.zeros((tune.rows_per_tile, LANES), jnp.float32)]
 
         def pair_block(blk, lane_gate, acc):
             """One (8, 128) candidate chunk vs this row-tile; ``lane_gate``
@@ -651,32 +768,113 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 # the ~0.4 us Mosaic scalar overhead per iteration (dynamic
                 # VMEM indexing + loop bookkeeping) is amortized over
                 # UNROLL pair blocks; tail chunks past k1 are lane-gated out
-                k = k0 + it * UNROLL
-                for u in range(UNROLL):
+                k = k0 + it * tune.unroll
+                for u in range(tune.unroll):
                     ku = jnp.minimum(k + u, w_rows - 1)
                     lg = ((k + u) < k1).astype(jnp.float32)
                     acc = pair_block(scratch[slot, ku], lg, acc)
                 return acc
 
-            n_it = jax.lax.div(k1 - k0 + (UNROLL - 1), UNROLL)
+            n_it = jax.lax.div(k1 - k0 + (tune.unroll - 1), tune.unroll)
             return jax.lax.fori_loop(0, n_it, chunk_body, acc, unroll=False)
 
         acc = jax.lax.fori_loop(0, counts_ref[rt, 0], line_body, acc,
                                 unroll=False)
 
         sums = [jnp.sum(a, axis=1, keepdims=True) for a in acc]
-        outv = jnp.concatenate(
-            sums + [jnp.zeros((ROWS_PER_TILE, OUT_LANES - len(sums)),
-                              jnp.float32)], axis=1)
-        out_ref[rt] = outv
+        if not fused:
+            outv = jnp.concatenate(
+                sums + [jnp.zeros((tune.rows_per_tile,
+                                   OUT_LANES - len(sums)),
+                                  jnp.float32)], axis=1)
+            out_ref[rt] = outv
+            continue
+
+        # ---- fused integrate tail: the whole remainder of
+        # VelPos.compute:101-157 on (ROWS, 1) columns, writing new rows ----
+        mass = scal_ref[0, 3]
+        visc = scal_ref[0, 4]
+        stiff = scal_ref[0, 5]
+        damping = scal_ref[0, 6]
+        grav_y = scal_ref[0, 7]
+        dt = scal_ref[0, 8]
+        xsph_eps = scal_ref[0, 9]
+        alpha_visc = scal_ref[0, 10]
+
+        # final m^2/rho_i scaling, guarded (VelPos.compute:101-105) — same
+        # op order as the XLA tail it replaces (forces_pallas)
+        i_ok = rrho > EPSILON
+        safe = jnp.where(i_ok, rrho, 1.0)
+        sp = mass * mass / safe
+        fpx = jnp.where(i_ok, sums[0] * sp, sums[0])
+        fpy = jnp.where(i_ok, sums[1] * sp, sums[1])
+        fpz = jnp.where(i_ok, sums[2] * sp, sums[2])
+        sv = visc * mass * mass / safe
+        fvx = jnp.where(i_ok, sums[3] * sv, sums[3])
+        fvy = jnp.where(i_ok, sums[4] * sv, sums[4])
+        fvz = jnp.where(i_ok, sums[5] * sv, sums[5])
+        ffx = fpx + fvx
+        ffy = fpy + fvy
+        ffz = fpz + fvz
+        if use_ext:
+            # extension constants folded outside the pair sums
+            # (ops/extensions.py semantics)
+            xs = xsph_eps * mass
+            dvx = xs * sums[6]
+            dvy = xs * sums[7]
+            dvz = xs * sums[8]
+            av = alpha_visc * mass * mass
+            ffx = ffx + av * sums[9]
+            ffy = ffy + av * sums[10]
+            ffz = ffz + av * sums[11]
+        else:
+            dvx = dvy = dvz = jnp.float32(0.0)
+
+        # wall penalty (VelPos.compute:107-137, sph_math.wall_force): the
+        # damping term is the SCALAR dot(damp, v) subtracted from ALL
+        # components — reference quirk kept
+        def wall_r(p):
+            return jnp.where(p < h, h - p,
+                             jnp.where(p > 1.0 - h, 1.0 - p - h, 0.0))
+
+        rwx = wall_r(rx)
+        rwy = wall_r(ry)
+        rwz = wall_r(rz)
+        damp_dot = (jnp.where(rwx != 0.0, damping, 0.0) * rvx
+                    + jnp.where(rwy != 0.0, damping, 0.0) * rvy
+                    + jnp.where(rwz != 0.0, damping, 0.0) * rvz)
+        active = jnp.maximum(jnp.abs(rwx),
+                             jnp.maximum(jnp.abs(rwy),
+                                         jnp.abs(rwz))) > 0.0
+        fwx = jnp.where(active, (rwx * stiff - damp_dot) * mass, 0.0)
+        fwy = jnp.where(active, (rwy * stiff - damp_dot) * mass, 0.0)
+        fwz = jnp.where(active, (rwz * stiff - damp_dot) * mass, 0.0)
+
+        # a = g + f/m; NaN trap zeroes acceleration AND velocity
+        # (VelPos.compute:139-147); semi-implicit Euler + clamp (:150-154)
+        ax = (ffx + fwx) / mass
+        ay = grav_y + (ffy + fwy) / mass
+        az = (ffz + fwz) / mass
+        nan_mask = jnp.isnan(ax) | jnp.isnan(ay) | jnp.isnan(az)
+        nvx = jnp.where(nan_mask, 0.0, rvx + ax * dt)
+        nvy = jnp.where(nan_mask, 0.0, rvy + ay * dt)
+        nvz = jnp.where(nan_mask, 0.0, rvz + az * dt)
+        npx = jnp.clip(rx + dt * (nvx + dvx), 0.0, 1.0)
+        npy = jnp.clip(ry + dt * (nvy + dvy), 0.0, 1.0)
+        npz = jnp.clip(rz + dt * (nvz + dvz), 0.0, 1.0)
+        aux = rows[:, 7:8] + nan_mask.astype(jnp.float32)
+
+        out_ref[rt] = jnp.concatenate(
+            [npx, npy, npz, nvx, nvy, nvz, rrho, aux], axis=1)
 
 
 def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
-                 win, tiles, counts, rows, scal, fields, *,
-                 use_ext: bool = False):
+                 tune: PallasTuning, win, tiles, counts, rows, scal,
+                 fields, *, use_ext: bool = False, fused: bool = False):
     n_groups = win.shape[0] - 1
+    out_lanes = N_FIELDS if fused else OUT_LANES
     kernel = functools.partial(_sph_kernel, n_lines, force, r,
-                               use_ext, w_rows)
+                               use_ext, w_rows, tune, fused)
     return pl.pallas_call(
         kernel,
         grid=(n_groups,),
@@ -686,22 +884,23 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
             # next group's window base (for the cross-group DMA prefetch)
             pl.BlockSpec((1, 1, 1), lambda g: (g + 1, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILES_PER_GROUP, 2 * n_lines), lambda g: (g, 0),
+            pl.BlockSpec((tune.tiles_per_group, 2 * n_lines),
+                         lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tune.tiles_per_group, 1), lambda g: (g, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILES_PER_GROUP, 1), lambda g: (g, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, N_FIELDS),
+            pl.BlockSpec((tune.tiles_per_group, tune.rows_per_tile,
+                          N_FIELDS),
                          lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda g: (0, 0),
+            pl.BlockSpec((1, 16), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((TILES_PER_GROUP, ROWS_PER_TILE, OUT_LANES),
-                               lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((tune.tiles_per_group, tune.rows_per_tile,
+                                out_lanes), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (n_groups * TILES_PER_GROUP, ROWS_PER_TILE, OUT_LANES),
-            jnp.float32),
+            (n_groups * tune.tiles_per_group, tune.rows_per_tile,
+             out_lanes), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, w_rows, N_FIELDS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, N_FIELDS)),
@@ -710,20 +909,32 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
     )(win, win, tiles, counts, rows, scal, fields)
 
 
-def _scal(phys: PhysParams) -> jax.Array:
+def _scal(phys: PhysParams, xsph: float = 0.0,
+          alpha_visc: float = 0.0) -> jax.Array:
+    """Kernel scalar block (1, 16): physics uniforms (the ShaderIDs
+    contract, SphFluidSimulation.cs:229-265) + extension coefficients.
+    Lanes: h, gas_k, rho0, mass, viscosity, stiffness, damping, gravity_y,
+    dt, xsph, alpha_visc, 0..."""
+    z = jnp.float32(0.0)
     return jnp.stack([phys.h, phys.gas_constant, phys.rest_density,
-                      jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-                      jnp.float32(0.0), jnp.float32(0.0)]).reshape(1, 8)
+                      phys.mass, phys.viscosity, phys.stiffness,
+                      phys.damping, phys.gravity_y, phys.dt,
+                      jnp.float32(xsph), jnp.float32(alpha_visc),
+                      z, z, z, z, z]).reshape(1, 16)
 
 
 def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
-                   r: int, n: int) -> jax.Array:
+                   r: int, n: int,
+                   tune: PallasTuning | None = None,
+                   occ_hint: float | None = None) -> jax.Array:
     """rho per sorted particle (Density.compute:32-60 semantics)."""
+    tune = tune or default_tuning()
     zeros3 = jnp.zeros_like(pos_s)
     zeros1 = jnp.zeros(pos_s.shape[0], jnp.float32)
-    fields = pack_fields(frame, pos_s, zeros3, zeros1, n, r)
-    rows = pack_rows(pos_s, zeros3, zeros1, frame.cid, n)
-    out = _call_kernel(N_LINES_DENS, False, r, window_rows(n, r, 1, 1),
+    fields = pack_fields(frame, pos_s, zeros3, zeros1, n, r, tune, occ_hint)
+    rows = pack_rows(pos_s, zeros3, zeros1, None, n, tune)
+    out = _call_kernel(N_LINES_DENS, False, r,
+                       window_rows(n, r, 1, 1, tune, occ_hint), tune,
                        frame.win_d, frame.tiles_d, frame.counts_d, rows,
                        _scal(phys), fields)
     w_sum = out[:, :, 0].reshape(-1)[:n]
@@ -732,7 +943,8 @@ def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
 
 def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
                   rho_s: jax.Array, phys: PhysParams, r: int, n: int, *,
-                  xsph: float = 0.0, alpha_visc: float = 0.0
+                  xsph: float = 0.0, alpha_visc: float = 0.0,
+                  tune: PallasTuning | None = None
                   ) -> tuple[jax.Array, jax.Array | None, jax.Array]:
     """Pressure + viscosity per sorted particle (VelPos.compute:49-105),
     optionally fused with the XSPH / artificial-viscosity extension sums
@@ -745,11 +957,14 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     where ``cert`` counts truncated intervals (0 == exactly the reference
     candidate set).
     """
+    tune = tune or default_tuning()
     use_ext = xsph != 0.0 or alpha_visc != 0.0
-    fields = pack_fields(frame, pos_s, vel_s, rho_s, n, r)
-    rows = pack_rows(pos_s, vel_s, rho_s, frame.cid, n)
-    tiles_fr, counts_fr, clip_fr = fresh_force_intervals(frame, pos_s, n, r)
-    out = _call_kernel(N_LINES_DENS, True, r, window_rows(n, r, 2, E_X),
+    fields = pack_fields(frame, pos_s, vel_s, rho_s, n, r, tune)
+    rows = pack_rows(pos_s, vel_s, rho_s, None, n, tune)
+    tiles_fr, counts_fr, clip_fr = fresh_force_intervals(frame, pos_s, n, r,
+                                                         tune)
+    out = _call_kernel(N_LINES_DENS, True, r,
+                       window_rows(n, r, 2, E_X, tune), tune,
                        frame.win_f, tiles_fr, counts_fr, rows,
                        _scal(phys), fields, use_ext=use_ext)
     flat = out.reshape(-1, OUT_LANES)[:n]
@@ -776,3 +991,81 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
                      * flat[:, 9:12])
 
     return f_press + f_vis + f_ext, xsph_dv, clip_fr
+
+
+def fields_from_rows(frame: SortedFrame, rows: jax.Array, n: int, r: int,
+                     tune: PallasTuning,
+                     occ_hint: float | None = None) -> jax.Array:
+    """Field-major candidate array rebuilt from the rows state.
+
+    The fused substep keeps particle state in the rows layout between
+    substeps; the candidate side still needs the field-major
+    ``[8, NB, 128]`` view (one window DMA per field). Pad rows may hold
+    integrated garbage (the kernel integrates them along with real rows),
+    so pad lanes are re-forced to the out-of-cube sentinel here.
+    """
+    npad = padded_n(n, tune)
+    rows2 = rows.reshape(npad, N_FIELDS)
+    pad = jnp.arange(npad, dtype=jnp.int32) >= n
+    cid_enc = jnp.pad(
+        jnp.where(frame.occ, frame.raw, -1).astype(jnp.float32),
+        (0, npad - n), constant_values=-1.0)
+    # field order of pack_fields: x, y, z, cid_enc, vx, vy, vz, rho —
+    # rows lanes are x, y, z, vx, vy, vz, rho, aux (aux not a field)
+    cols = [jnp.where(pad, 2.0, rows2[:, 0]),
+            jnp.where(pad, 2.0, rows2[:, 1]),
+            jnp.where(pad, 2.0, rows2[:, 2]),
+            cid_enc,
+            jnp.where(pad, 0.0, rows2[:, 3]),
+            jnp.where(pad, 0.0, rows2[:, 4]),
+            jnp.where(pad, 0.0, rows2[:, 5]),
+            jnp.where(pad, 0.0, rows2[:, 6])]
+    fields = jnp.stack(cols, axis=0).reshape(N_FIELDS, npad // LANES, LANES)
+    n_guard = fields_rows(n, r, tune, occ_hint) - npad // LANES
+    guard = jnp.zeros((N_FIELDS, n_guard, LANES), jnp.float32)
+    guard = guard.at[3].set(-1.0)
+    return jnp.concatenate([fields, guard], axis=1)
+
+
+def unpack_rows(rows: jax.Array, n: int
+                ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """rows state -> (pos_s f32[n,3], vel_s f32[n,3], rho_s f32[n],
+    nan_count_s i32[n])."""
+    rows2 = rows.reshape(-1, N_FIELDS)[:n]
+    return (rows2[:, 0:3], rows2[:, 3:6], rows2[:, 6],
+            rows2[:, 7].astype(jnp.int32))
+
+
+def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
+                  r: int, n: int, *, xsph: float = 0.0,
+                  alpha_visc: float = 0.0,
+                  tune: PallasTuning | None = None,
+                  band: tuple[jax.Array, int] | None = None,
+                  occ_hint: float | None = None
+                  ) -> tuple[jax.Array, jax.Array]:
+    """One whole integration substep in a single Pallas dispatch.
+
+    Fuses forces_pallas + integrate_substep (VelPos.compute:49-157
+    complete: pair forces, m²/ρ scaling, wall penalty, gravity, NaN trap,
+    semi-implicit Euler, clamp) over the rows-layout state, so the only
+    per-substep XLA work is the fresh-interval table and the field-major
+    repack — no pack_rows, no separate integrate pass, no [N, 16] sums
+    round-trip through HBM (measured ~3.5 ms/substep at 262k in v6).
+
+    Returns (new_rows, cert) where cert counts truncated/drifted intervals
+    (0 == exactly the reference candidate set).
+    """
+    tune = tune or default_tuning()
+    use_ext = xsph != 0.0 or alpha_visc != 0.0
+    pos_s = rows.reshape(-1, N_FIELDS)[:n, 0:3]
+    fields = fields_from_rows(frame, rows, n, r, tune, occ_hint)
+    tiles_fr, counts_fr, cert = fresh_force_intervals(frame, pos_s, n, r,
+                                                      tune, band, occ_hint)
+    new_rows = _call_kernel(
+        N_LINES_DENS, True, r, window_rows(n, r, 2, E_X, tune, occ_hint),
+        tune, frame.win_f, tiles_fr, counts_fr, rows,
+        _scal(phys, xsph, alpha_visc), fields, use_ext=use_ext, fused=True)
+    npad = padded_n(n, tune)
+    new_rows = new_rows.reshape(npad // tune.rows_per_tile,
+                                tune.rows_per_tile, N_FIELDS)
+    return new_rows, cert

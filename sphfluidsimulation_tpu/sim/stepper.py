@@ -84,7 +84,8 @@ def _brute_pair_mask(pos, bucket, r: int):
 
 
 def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
-                    faithful: bool = True) -> ParamStepFn:
+                    faithful: bool = True,
+                    pallas_tune=None) -> ParamStepFn:
     """Build the per-frame step ``(state, phys) → (state, metrics)``.
 
     ``cfg`` contributes only structure (shapes): particle count, bucket
@@ -98,7 +99,7 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
     """
     cfg = cfg.validate()
     if neighbor == "pallas":
-        return _make_pallas_step(cfg, faithful=faithful)
+        return _make_pallas_step(cfg, faithful=faithful, tune=pallas_tune)
     if neighbor == "sites":
         return _make_sites_step(cfg, faithful=faithful)
     if neighbor not in ("slotted", "gather", "brute"):
@@ -261,7 +262,8 @@ def _make_sites_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
     return step
 
 
-def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
+def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True,
+                      tune=None) -> ParamStepFn:
     """Frame step on the fused Pallas kernels (the throughput tier).
 
     Pipeline per frame: sort by stale cell (the deterministic bucket build)
@@ -278,6 +280,7 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
     n = cfg.n_particles
     cap = cfg.voxel_capacity  # None -> no capacity drop (exactly uncapped)
     xsph, alpha = cfg.xsph, cfg.artificial_viscosity
+    tune = tune or pallas_sph.default_tuning()
 
     if not faithful:
         # Physically-corrected mode: rebuild the sorted frame and the
@@ -289,11 +292,12 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
             def substep(carry, _):
                 pos, vel, nan_hits, cert = carry
                 frame, (pos_s, vel_s) = pallas_sph.build_frame(
-                    pos, r, cap, extras=(pos, vel))
-                rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n)
+                    pos, r, cap, extras=(pos, vel), tune=tune)
+                rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n,
+                                                  tune)
                 f, dv, d = pallas_sph.forces_pallas(
                     frame, pos_s, vel_s, rho_s, phys, r, n, xsph=xsph,
-                    alpha_visc=alpha)
+                    alpha_visc=alpha, tune=tune)
                 pos_s, vel_s, nan_mask = integrate_substep(pos_s, vel_s, f,
                                                            phys, dv)
                 pos = jnp.zeros_like(pos_s).at[frame.order].set(pos_s)
@@ -307,8 +311,9 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
             # corrected branch of make_param_step reports these from the
             # pre-substep state too)
             frame0, (pos0_s,) = pallas_sph.build_frame(
-                state.pos, r, cap, extras=(state.pos,))
-            rho0_s = pallas_sph.density_pallas(frame0, pos0_s, phys, r, n)
+                state.pos, r, cap, extras=(state.pos,), tune=tune)
+            rho0_s = pallas_sph.density_pallas(frame0, pos0_s, phys, r, n,
+                                               tune)
             ovf = jnp.sum(~frame0.occ).astype(jnp.int32)
             rho_metric = (jnp.zeros(n, jnp.float32).at[frame0.order]
                           .set(rho0_s))
@@ -329,23 +334,39 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
              ) -> tuple[ParticleState, StepMetrics]:
         # pos/vel ride the sort as operands (gather-free permutation)
         frame, (pos_s, vel_s) = pallas_sph.build_frame(
-            state.pos, r, cap, extras=(state.pos, state.vel))
-        rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n)
+            state.pos, r, cap, extras=(state.pos, state.vel), tune=tune)
+        rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n, tune)
 
-        def substep(carry, _):
-            pos_s, vel_s, nan_hits, drift = carry
-            f_fluid, xsph_dv, d = pallas_sph.forces_pallas(
-                frame, pos_s, vel_s, rho_s, phys, r, n, xsph=xsph,
-                alpha_visc=alpha)
-            pos_s, vel_s, nan_mask = integrate_substep(pos_s, vel_s, f_fluid,
-                                                       phys, xsph_dv)
-            return (pos_s, vel_s, nan_hits + nan_mask.astype(jnp.int32),
-                    drift + d), None
+        if tune.fused:
+            # single-dispatch substeps over the rows-layout state
+            rows = pallas_sph.pack_rows(pos_s, vel_s, rho_s, None, n, tune)
 
-        nan0 = jnp.zeros(n, jnp.int32)
-        (pos_s, vel_s, nan_hits, drift), _ = jax.lax.scan(
-            substep, (pos_s, vel_s, nan0, jnp.int32(0)), None,
-            length=cfg.substeps)
+            def substep_f(carry, _):
+                rows, cert = carry
+                rows, c = pallas_sph.fused_substep(
+                    frame, rows, phys, r, n, xsph=xsph, alpha_visc=alpha,
+                    tune=tune)
+                return (rows, cert + c), None
+
+            (rows, drift), _ = jax.lax.scan(
+                substep_f, (rows, jnp.int32(0)), None, length=cfg.substeps)
+            pos_s, vel_s, _, nan_hits = pallas_sph.unpack_rows(rows, n)
+        else:
+            def substep(carry, _):
+                pos_s, vel_s, nan_hits, drift = carry
+                f_fluid, xsph_dv, d = pallas_sph.forces_pallas(
+                    frame, pos_s, vel_s, rho_s, phys, r, n, xsph=xsph,
+                    alpha_visc=alpha, tune=tune)
+                pos_s, vel_s, nan_mask = integrate_substep(
+                    pos_s, vel_s, f_fluid, phys, xsph_dv)
+                return (pos_s, vel_s,
+                        nan_hits + nan_mask.astype(jnp.int32),
+                        drift + d), None
+
+            nan0 = jnp.zeros(n, jnp.int32)
+            (pos_s, vel_s, nan_hits, drift), _ = jax.lax.scan(
+                substep, (pos_s, vel_s, nan0, jnp.int32(0)), None,
+                length=cfg.substeps)
 
         # un-permute back to the caller's particle order
         pos = jnp.zeros_like(pos_s).at[frame.order].set(pos_s)
@@ -366,15 +387,16 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
 
 
 def make_frame_step(cfg: SimConfig, *, neighbor: str = "slotted",
-                    faithful: bool = True) -> StepFn:
+                    faithful: bool = True, pallas_tune=None) -> StepFn:
     """Single-scene step with the config's own physics baked as constants."""
-    param_step = make_param_step(cfg, neighbor=neighbor, faithful=faithful)
+    param_step = make_param_step(cfg, neighbor=neighbor, faithful=faithful,
+                                 pallas_tune=pallas_tune)
     phys = PhysParams.from_config(cfg)
     return lambda state: param_step(state, phys)
 
 
 def _make_pallas_rollout(cfg: SimConfig, n_frames: int,
-                         snapshot_every: int = 0):
+                         snapshot_every: int = 0, tune=None):
     """Pallas rollout that keeps state in SORTED order across frames.
 
     The per-frame un-permute of the generic path costs three XLA scatters
@@ -391,30 +413,46 @@ def _make_pallas_rollout(cfg: SimConfig, n_frames: int,
     cap = cfg.voxel_capacity
     xsph, alpha = cfg.xsph, cfg.artificial_viscosity
     phys = PhysParams.from_config(cfg)
+    tune = tune or pallas_sph.default_tuning()
 
     def frame_sorted(pos, vel, nan_count, pid):
         # pid doubles as the sort's tie-break (gid): capacity ranks stay
         # keyed to ORIGINAL particle ids, so the rollout is bit-identical
         # to per-frame stepping; frame.order is then the sorted pid column
         frame, (pos_s, vel_s, nan_s) = pallas_sph.build_frame(
-            pos, r, cap, extras=(pos, vel, nan_count), gid=pid)
+            pos, r, cap, extras=(pos, vel, nan_count), gid=pid, tune=tune)
         pid_s = frame.order
-        rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n)
+        rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n, tune)
 
-        def substep(carry, _):
-            pos_s, vel_s, nan_hits, cert = carry
-            f, dv, c = pallas_sph.forces_pallas(
-                frame, pos_s, vel_s, rho_s, phys, r, n, xsph=xsph,
-                alpha_visc=alpha)
-            pos_s, vel_s, nan_mask = integrate_substep(pos_s, vel_s, f,
-                                                       phys, dv)
-            return (pos_s, vel_s, nan_hits + nan_mask.astype(jnp.int32),
-                    cert + c), None
+        if tune.fused:
+            rows = pallas_sph.pack_rows(pos_s, vel_s, rho_s, None, n, tune)
 
-        nan0 = jnp.zeros(n, jnp.int32)
-        (pos_s, vel_s, nan_hits, cert), _ = jax.lax.scan(
-            substep, (pos_s, vel_s, nan0, jnp.int32(0)), None,
-            length=cfg.substeps)
+            def substep_f(carry, _):
+                rows, cert = carry
+                rows, c = pallas_sph.fused_substep(
+                    frame, rows, phys, r, n, xsph=xsph, alpha_visc=alpha,
+                    tune=tune)
+                return (rows, cert + c), None
+
+            (rows, cert), _ = jax.lax.scan(
+                substep_f, (rows, jnp.int32(0)), None, length=cfg.substeps)
+            pos_s, vel_s, _, nan_hits = pallas_sph.unpack_rows(rows, n)
+        else:
+            def substep(carry, _):
+                pos_s, vel_s, nan_hits, cert = carry
+                f, dv, c = pallas_sph.forces_pallas(
+                    frame, pos_s, vel_s, rho_s, phys, r, n, xsph=xsph,
+                    alpha_visc=alpha, tune=tune)
+                pos_s, vel_s, nan_mask = integrate_substep(pos_s, vel_s, f,
+                                                           phys, dv)
+                return (pos_s, vel_s,
+                        nan_hits + nan_mask.astype(jnp.int32),
+                        cert + c), None
+
+            nan0 = jnp.zeros(n, jnp.int32)
+            (pos_s, vel_s, nan_hits, cert), _ = jax.lax.scan(
+                substep, (pos_s, vel_s, nan0, jnp.int32(0)), None,
+                length=cfg.substeps)
         ovf = jnp.sum(~frame.occ).astype(jnp.int32)
         st = ParticleState(pos=pos_s, vel=vel_s,
                            nan_count=nan_s + nan_hits)
@@ -460,7 +498,8 @@ def _make_pallas_rollout(cfg: SimConfig, n_frames: int,
 
 
 def make_rollout(cfg: SimConfig, n_frames: int, *, neighbor: str = "slotted",
-                 faithful: bool = True, snapshot_every: int = 0):
+                 faithful: bool = True, snapshot_every: int = 0,
+                 pallas_tune=None):
     """Build a jitted ``state → (state, metrics[, snapshots])`` rollout over
     ``n_frames`` frames via lax.scan (one device dispatch per rollout).
 
@@ -472,8 +511,9 @@ def make_rollout(cfg: SimConfig, n_frames: int, *, neighbor: str = "slotted",
         raise ValueError("snapshot_every must be 0 or divide n_frames")
     if neighbor == "pallas" and faithful and snapshot_every != 1:
         return _make_pallas_rollout(cfg.validate(), n_frames,
-                                    snapshot_every)
-    step = make_frame_step(cfg, neighbor=neighbor, faithful=faithful)
+                                    snapshot_every, tune=pallas_tune)
+    step = make_frame_step(cfg, neighbor=neighbor, faithful=faithful,
+                           pallas_tune=pallas_tune)
 
     def body(state, _):
         new_state, m = step(state)

@@ -2,6 +2,7 @@
 the reference's inspector+play-mode equivalent, SphFluidSimulation.cs:34-53).
 """
 
+import pytest
 import json
 import os
 
@@ -46,6 +47,7 @@ def test_sweep(capsys):
     assert rec["scenes"] == 2 and len(rec["mean_density"]) == 2
 
 
+@pytest.mark.slow
 def test_run_slab_shards(tmp_path, capsys):
     ck = str(tmp_path / "ck.npz")
     rc = main(["run", *TINY, "--neighbor", "sites", "--frames", "2",

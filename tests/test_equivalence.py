@@ -49,6 +49,7 @@ def test_forces_grid_matches_brute(n, r, cap):
                                np.asarray(f_b) / scale, atol=3e-6)
 
 
+@pytest.mark.slow
 def test_preset_spawn_equivalence():
     # real spawn geometry incl. out-of-cube positions (preset2 overshoot)
     cfg = SimConfig(particle_number=1024, bucket_resolution=11, preset=1)

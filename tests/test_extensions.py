@@ -82,6 +82,7 @@ def test_unsupported_backend_raises():
         make_frame_step(BASE.replace(xsph=0.5), neighbor="gather")
 
 
+@pytest.mark.slow
 def test_pallas_extensions_match_brute_oracle():
     cfg = BASE.replace(xsph=0.3, artificial_viscosity=0.4)
     st = initial_state(cfg)

@@ -52,6 +52,7 @@ def test_slotted_tracks_golden_early_frames(golden):
     assert rmse1 < 1e-6
     assert rmse5 < 1e-3   # chaotic amplification bound
 
+@pytest.mark.slow
 def test_pallas_tracks_golden_early_frames(golden):
     # The fresh-interval force walk (pallas v6, fresh_force_intervals)
     # covers every particle whose within-frame drift stays <= 1 cell and
@@ -65,6 +66,7 @@ def test_pallas_tracks_golden_early_frames(golden):
     assert rmse5 < 1e-3   # chaotic amplification bound
 
 
+@pytest.mark.slow
 def test_sites_tracks_golden_full_tolerance():
     """VERDICT #3 resolution: the round-2 throughput tier (sites) centers
     every evaluation window on the FRESH cell by construction, so unlike

@@ -29,6 +29,7 @@ def _ovf(m):
     return int(m.overflow)
 
 
+@pytest.mark.slow
 def test_density_matches_brute_first_frame():
     st = initial_state(GOLDENISH)
     _, mp = jax.jit(make_frame_step(GOLDENISH, neighbor="pallas"))(st)
@@ -38,6 +39,7 @@ def test_density_matches_brute_first_frame():
     assert _ovf(mp) == int(mb.overflow)
 
 
+@pytest.mark.slow
 def test_calm_rollout_tracks_oracle_with_zero_cert():
     sp = sb = initial_state(CALM)
     pstep = jax.jit(make_frame_step(CALM, neighbor="pallas"))
@@ -51,6 +53,7 @@ def test_calm_rollout_tracks_oracle_with_zero_cert():
     assert float(jnp.max(jnp.abs(sp.pos - sb.pos))) < 5e-4
 
 
+@pytest.mark.slow
 def test_forces_match_brute_at_frame_start():
     from sphfluidsimulation_tpu.models.presets import init_positions
     from sphfluidsimulation_tpu.ops import brute, pallas_sph
@@ -79,6 +82,7 @@ def test_forces_match_brute_at_frame_start():
                                np.asarray(f_b) / scale, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_deterministic():
     st = initial_state(CALM)
     step = jax.jit(make_frame_step(CALM, neighbor="pallas"))
@@ -103,6 +107,7 @@ def test_build_frame_semantics():
     assert bool(np.all(np.diff(np.asarray(frame.cid)) >= 0))
 
 
+@pytest.mark.slow
 def test_voxel_capacity_none_never_drops():
     # None disables the reference's capacity drop entirely: every in-cube
     # particle stays occupied (no silent substitute cap), and the dense
@@ -133,6 +138,7 @@ def test_voxel_capacity_none_raises_on_slot_backends():
             make_frame_step(cfg, neighbor=nb)
 
 
+@pytest.mark.slow
 def test_corrected_mode_matches_slotted():
     """faithful=False rebuilds frame+density per substep; on a calm config
     the pallas and slotted corrected trajectories must agree."""
@@ -152,6 +158,7 @@ def test_corrected_mode_matches_slotted():
         float(ms.mean_density), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_sorted_rollout_matches_per_frame_stepping():
     """The sorted-state rollout (no per-frame un-permute) must be BITWISE
     identical to stepping frame by frame through the generic path."""
@@ -169,6 +176,7 @@ def test_sorted_rollout_matches_per_frame_stepping():
 
 
 @pytest.mark.parametrize("ss", ["0", "1"])
+@pytest.mark.slow
 def test_big_grid_sort_based_interval_lookup(ss, monkeypatch):
     """r**3 > 2**14 qualifies for the sort-based searchsorted lookup in
     _line_intervals (opt-in, SPH_PALLAS_SS); both lookup paths must match
@@ -185,3 +193,55 @@ def test_big_grid_sort_based_interval_lookup(ss, monkeypatch):
                                atol=2e-6)
     assert float(mp.mean_density) == pytest.approx(float(mb.mean_density),
                                                    rel=1e-5)
+
+
+def test_fused_substep_matches_unfused():
+    """The fused kernel (forces + wall + gravity + NaN trap + Euler + clamp
+    in one dispatch) must reproduce the v6 two-stage path: the in-kernel
+    integrate tail repeats the same f32 op order as forces_pallas's XLA
+    tail + integrate_substep. XLA fuses the two (mathematically identical)
+    graphs differently, so single-rounding (half-ulp) divergence is
+    allowed; a semantic bug (wrong wall term, dropped scaling) would blow
+    far past the multi-frame tolerance here."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    st_f = st_u = initial_state(CALM)
+    phys = PhysParams.from_config(CALM)
+    step_f = jax.jit(make_param_step(CALM, neighbor="pallas",
+                                     pallas_tune=PallasTuning(fused=True)))
+    step_u = jax.jit(make_param_step(CALM, neighbor="pallas",
+                                     pallas_tune=PallasTuning(fused=False)))
+    for _ in range(3):
+        st_f, mf = step_f(st_f, phys)
+        st_u, mu = step_u(st_u, phys)
+    np.testing.assert_allclose(np.asarray(st_f.pos), np.asarray(st_u.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_f.vel), np.asarray(st_u.vel),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st_f.nan_count),
+                                  np.asarray(st_u.nan_count))
+    assert _cert(mf) == _cert(mu) == 0
+    assert _ovf(mf) == _ovf(mu)
+
+
+def test_fused_substep_matches_unfused_extensions():
+    """Same equivalence with the XSPH + artificial-viscosity extension sums
+    fused into the kernel (ops/extensions.py semantics)."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    cfg = CALM.replace(xsph=0.1, artificial_viscosity=0.05)
+    st = initial_state(cfg)
+    phys = PhysParams.from_config(cfg)
+    sf, mf = jax.jit(make_param_step(cfg, neighbor="pallas",
+                                     pallas_tune=PallasTuning(fused=True))
+                     )(st, phys)
+    su, mu = jax.jit(make_param_step(cfg, neighbor="pallas",
+                                     pallas_tune=PallasTuning(fused=False))
+                     )(st, phys)
+    np.testing.assert_allclose(np.asarray(sf.pos), np.asarray(su.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sf.vel), np.asarray(su.vel),
+                               atol=1e-6)
+    assert _cert(mf) == _cert(mu)

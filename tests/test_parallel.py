@@ -94,6 +94,7 @@ def test_2d_dp_sp_step():
     assert metrics.mean_density.shape == (2,)
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -65,6 +65,7 @@ def test_preset_dispatch_mapping():
     np.testing.assert_array_equal(p, expected)
 
 
+@pytest.mark.slow
 def test_no_duplicate_spawns():
     pos = np.asarray(presets.preset2(4096, 0.8))
     d = pos[:, None, :] - pos[None, :, :]

@@ -169,6 +169,7 @@ def test_sites_step_matches_brute_and_slotted():
     assert outs["sites"][2] == outs["brute"][2]
 
 
+@pytest.mark.slow
 def test_sites_rollout_tracks_slotted():
     from sphfluidsimulation_tpu.sim.stepper import make_rollout
     # gentler EOS and timestep so float divergence stays visible; corner
@@ -185,6 +186,7 @@ def test_sites_rollout_tracks_slotted():
                                atol=5e-4)
 
 
+@pytest.mark.slow
 def test_sites_corrected_mode_matches_brute():
     cfg = SimConfig(particle_number=512, bucket_resolution=9,
                     site_capacity=16)
@@ -197,6 +199,7 @@ def test_sites_corrected_mode_matches_brute():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sites_extensions_match_slotted():
     # avisc extends the site key with velocity → more distinct sites/voxel
     cfg = SimConfig(particle_number=1024, bucket_resolution=11,
@@ -216,6 +219,7 @@ def test_uncapped_binding():
     assert int(ovf) == 0 and bool(jnp.all(in_cap))
 
 
+@pytest.mark.slow
 def test_independent_i_capacity():
     """site_capacity_i raises only the evaluation-grid capacity: a config
     whose fresh voxels exceed site_capacity distinct tuples certifies at

@@ -37,6 +37,7 @@ def _calm_cfg(**kw):
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.slow
 def test_slab_matches_single_device(n_dev):
     cfg = _calm_cfg()
     mesh = _mesh((n_dev,), ("sp",))
@@ -63,6 +64,7 @@ def test_slab_matches_single_device(n_dev):
         float(m_ref.mean_density), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_slab_multi_frame_migration():
     """Three frames: particles cross slab boundaries; ids are conserved,
     nothing is lost, and positions keep tracking the single-device step."""
@@ -101,6 +103,7 @@ def test_slab_memory_is_decomposed():
     assert spec.slab_z + 2 * spec.halo < r  # local grid < global grid
 
 
+@pytest.mark.slow
 def test_slab_cert_fires_on_overdrift():
     """Velocities large enough to jump past the halo band within one frame
     must be certified, not silently wrong."""
@@ -119,6 +122,7 @@ def test_slab_cert_fires_on_overdrift():
     assert int(m.exact_cert) > 0
 
 
+@pytest.mark.slow
 def test_batched_slab_dp_sp():
     """2 scenes × 4 slabs: each scene matches its own single-device run."""
     cfg = _calm_cfg()
@@ -144,6 +148,7 @@ def test_batched_slab_dp_sp():
             float(m_ref.mean_density), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_slab_extensions_match_single_device():
     """XSPH + artificial viscosity ride the same j-field stack through the
     halo exchange; the sharded step must match single-device sites."""
