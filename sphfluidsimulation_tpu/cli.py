@@ -86,8 +86,15 @@ def cmd_run(a) -> int:
         os.makedirs(a.export_dir, exist_ok=True)
 
     exported: list[str] = []
+    viewer_frames: list = []
+    viewer_speeds: list = []
     for _ in range(a.frames):
         scene.step()
+        if a.viewer and scene.frame % max(a.viewer_every, 1) == 0:
+            import numpy as np
+            viewer_frames.append(np.asarray(scene.state.pos))
+            viewer_speeds.append(
+                np.linalg.norm(np.asarray(scene.state.vel), axis=-1))
         rec = log.log(scene.frame, scene.last_metrics)
         if a.verbose:
             print(json.dumps(rec))
@@ -110,6 +117,17 @@ def cmd_run(a) -> int:
             print(f"animation → {assemble_animation(exported, a.animate)}")
         else:
             print("no exported frames to animate (use --export-dir)")
+    if a.viewer:
+        import numpy as np
+
+        from .render.viewer import export_html_viewer
+        if viewer_frames:
+            export_html_viewer(
+                a.viewer, np.stack(viewer_frames),
+                np.stack(viewer_speeds), sim_scale=scene.cfg.sim_scale,
+                low_speed=scene.cfg.low_speed,
+                high_speed=scene.cfg.high_speed)
+            print(f"viewer → {a.viewer}")
     last = log.history[-1] if log.history else {}
     print(json.dumps({"frames": scene.frame, **last}))
     return 0
@@ -134,7 +152,7 @@ def _run_slab(a) -> int:
     # dropped (the slab step has no corrected mode or frame-export hook)
     unsupported = [flag for flag, on in (
         ("--corrected", a.corrected), ("--export-dir", a.export_dir),
-        ("--animate", a.animate)) if on]
+        ("--animate", a.animate), ("--viewer", a.viewer)) if on]
     if unsupported:
         print(f"{', '.join(unsupported)} not supported with --shards > 1",
               file=sys.stderr)
@@ -297,6 +315,12 @@ def main(argv=None) -> int:
     p.add_argument("--animate", type=str, default=None,
                    help="assemble exported frames into a GIF/APNG at this "
                         "path after the run")
+    p.add_argument("--viewer", type=str, default=None,
+                   help="write a standalone interactive WebGL viewer "
+                        "(orbit camera + playback) of the run's frames "
+                        "to this html path")
+    p.add_argument("--viewer-every", type=int, default=1,
+                   help="record every k-th frame into --viewer")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--shards", type=int, default=1,
                    help="spatial slab shards over the device mesh (>1 "
