@@ -337,6 +337,34 @@ def _gate(r: int, s: int, oz, oy: int, ox: int, delta, zbase=0):
     return b.astype(jnp.float32)
 
 
+def _kj_scanned(body, kj: int):
+    """Fold ``body`` over the j-slot axis one slot at a time.
+
+    The dense pair broadcast materializes [Ki, Kj, S] temporaries —
+    432 MB per temp at 1M particles (Ki=Kj=16, S=75³), which is what
+    reproducibly crashed the TPU worker at 262k-1M in round 2 (XLA temp
+    bloat). Scanning Kj keeps every temp at [Ki, 1, S] with identical
+    flops; the bodies already broadcast over the j axis, so a [1, S]
+    slice flows through them unchanged. Summation order over j-slots
+    changes (slot-by-slot instead of one axis reduction) — float-order
+    only, the candidate SET is identical.
+    """
+
+    def scanned(acc, jsl, oz, oy, ox):
+        def step(acc, k):
+            jslk = [lax.dynamic_slice_in_dim(a, k, 1, axis=0) for a in jsl]
+            return body(acc, jslk, oz, oy, ox), None
+
+        return lax.scan(step, acc, jnp.arange(kj))[0]
+
+    return scanned
+
+
+# Above this grid size the dense [Ki, Kj, S] pair broadcast's temporaries
+# outgrow HBM headroom; the j-slot axis is scanned instead (no flop change).
+KJ_SCAN_CELLS = 1 << 16
+
+
 def _window_scan(jarrs: list[jax.Array], r: int, s: int, w: int,
                  body, acc0):
     """Offset-window sweep: ``body(acc, jslices, oz, oy, ox)`` consumes one
@@ -351,6 +379,8 @@ def _window_scan(jarrs: list[jax.Array], r: int, s: int, w: int,
     scan a flat offset list with one dynamic slice per offset — small
     compiled code for a cold path.
     """
+    if s > KJ_SCAN_CELLS:
+        body = _kj_scanned(body, jarrs[0].shape[0])
     pad = w * (r * r + r + 1)
     m = w * (r + 1)
     padded = ([_pad(a, pad, FAR) for a in jarrs[:3]]

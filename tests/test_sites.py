@@ -238,3 +238,39 @@ def test_independent_i_capacity():
     # raised i-capacity: exact (512 covers any voxel's distinct tuples)
     _, cert_big = sites.density_sites(pos, cid, in_cap, p, 9, 512, 32)
     assert int(cert_big) == 0
+
+
+def test_kj_scanned_matches_broadcast(monkeypatch):
+    """The large-grid j-slot scan (temp-bloat fix: [Ki,1,S] instead of
+    [Ki,Kj,S] temporaries) must reproduce the dense broadcast path to
+    float-summation tolerance — same candidate set, different add order."""
+    from sphfluidsimulation_tpu.models.presets import init_positions
+    from sphfluidsimulation_tpu.ops import sites
+    from sphfluidsimulation_tpu.params import PhysParams
+
+    cfg = SimConfig(particle_number=1024, bucket_resolution=11, preset=0,
+                    gas_constant=20.0)
+    p = PhysParams.from_config(cfg)
+    pos = init_positions(cfg)
+    vel = 0.05 * jnp.sin(37.0 * pos)
+    cid, in_cap, _ = sites.frame_binding(pos, cfg.bucket_resolution,
+                                         cfg.voxel_capacity)
+    r = cfg.bucket_resolution
+
+    rho_b, cert_b = jax.jit(lambda: sites.density_sites(
+        pos, cid, in_cap, p, r, 16, 16))()
+    f_b, _, cf_b = jax.jit(lambda: sites.fluid_forces_sites(
+        pos, vel, rho_b, cid, in_cap, p, r, 16, 16))()
+
+    monkeypatch.setattr(sites, "KJ_SCAN_CELLS", 0)
+    rho_s, cert_s = jax.jit(lambda: sites.density_sites(
+        pos, cid, in_cap, p, r, 16, 16))()
+    f_s, _, cf_s = jax.jit(lambda: sites.fluid_forces_sites(
+        pos, vel, rho_b, cid, in_cap, p, r, 16, 16))()
+
+    assert int(cert_b) == int(cert_s)
+    assert int(cf_b) == int(cf_s)
+    np.testing.assert_allclose(np.asarray(rho_s), np.asarray(rho_b),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_b),
+                               rtol=1e-4, atol=1e-5)
