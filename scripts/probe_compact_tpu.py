@@ -1,0 +1,129 @@
+"""Round-3 TPU probe for the v7 compact-lane kernel: compiled correctness
+vs v6 at 16k, then throughput at 262k/1M with row-tile sweeps.
+
+Subprocess-per-stage with SIGALRM watchdogs and os._exit (normal
+interpreter teardown can crash the tunneled TPU worker), TPU recovery
+polling between stages.
+
+Usage: python scripts/probe_compact_tpu.py [stage-filter-substring]
+"""
+import os
+import subprocess
+import sys
+import time
+
+CHECK_SRC = r"""
+import os, signal, sys
+sys.path.insert(0, "/root/repo")
+
+def on_alarm(*a):
+    print("ALARM: stage timed out", flush=True)
+    os._exit(9)
+
+signal.signal(signal.SIGALRM, on_alarm)
+signal.alarm(int(sys.argv[2]))
+
+import numpy as np
+import jax, jax.numpy as jnp
+from sphfluidsimulation_tpu.utils.compcache import enable_compilation_cache
+from sphfluidsimulation_tpu.config import SimConfig
+from sphfluidsimulation_tpu.params import PhysParams
+from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+from sphfluidsimulation_tpu.sim.stepper import initial_state, make_param_step
+enable_compilation_cache()
+float(jnp.sum(jnp.ones(8)))
+
+n = int(sys.argv[1])
+cfg = SimConfig(particle_number=n, bucket_resolution=19 if n <= 1 << 14
+                else 30)
+st = initial_state(cfg)
+phys = PhysParams.from_config(cfg)
+t6 = PallasTuning(fused=True, compact=False)
+t7 = t6._replace(compact=True)
+s6, m6 = jax.jit(make_param_step(cfg, neighbor="pallas",
+                                 pallas_tune=t6))(st, phys)
+p6 = np.asarray(s6.pos); v6v = np.asarray(s6.vel)
+s7, m7 = jax.jit(make_param_step(cfg, neighbor="pallas",
+                                 pallas_tune=t7))(st, phys)
+p7 = np.asarray(s7.pos); v7v = np.asarray(s7.vel)
+dp = np.abs(p7 - p6).max(); dv = np.abs(v7v - v6v).max()
+print(f"RESULT dpos={dp:.3e} dvel={dv:.3e} cert6={int(m6.exact_cert)} "
+      f"cert7={int(m7.exact_cert)} rho={float(m7.mean_density):.6f}",
+      flush=True)
+os._exit(0)
+"""
+
+BENCH_SRC = r"""
+import os, signal, sys
+sys.path.insert(0, "/root/repo")
+
+def on_alarm(*a):
+    print("ALARM: stage timed out", flush=True)
+    os._exit(9)
+
+signal.signal(signal.SIGALRM, on_alarm)
+signal.alarm(int(sys.argv[2]))
+
+import jax, jax.numpy as jnp
+from sphfluidsimulation_tpu.utils.compcache import enable_compilation_cache
+from sphfluidsimulation_tpu.bench import run_bench
+enable_compilation_cache()
+float(jnp.sum(jnp.ones(8)))
+n, frames = int(sys.argv[1]), int(sys.argv[3])
+r = run_bench(n_particles=n, frames=frames, neighbor="pallas")
+print(f"RESULT {r['value']:.4g} {r['unit']} compile={r['compile_plus_warmup_s']}s "
+      f"cert={r['exact_cert_total']} ovf={r['overflow_max']} "
+      f"tune={r['pallas_tuning']}", flush=True)
+os._exit(0)
+"""
+
+
+def wait_tpu(max_wait=2700):
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "import signal,sys,os;signal.alarm(90);import jax,jax.numpy as j;"
+             "float(j.sum(j.ones(8)));print('up',flush=True);os._exit(0)"],
+            capture_output=True, text=True, timeout=150)
+        if rc.returncode == 0 and "up" in rc.stdout:
+            return True
+        print(f"  tpu not ready (rc={rc.returncode}); waiting", flush=True)
+        time.sleep(30)
+    return False
+
+
+def main():
+    filt = sys.argv[1] if len(sys.argv) > 1 else ""
+    C = {"SPH_PALLAS_COMPACT": "1"}
+    stages = [
+        ("check_16k", CHECK_SRC, {}, 1 << 14, 20, 1200),
+        ("compact_262k_r32", BENCH_SRC, C, 1 << 18, 20, 1500),
+        ("compact_262k_r16", BENCH_SRC,
+         {**C, "SPH_PALLAS_CROWS": "16"}, 1 << 18, 20, 1500),
+        ("compact_262k_r64", BENCH_SRC,
+         {**C, "SPH_PALLAS_CROWS": "64"}, 1 << 18, 20, 1500),
+        ("compact_1m_r32", BENCH_SRC, C, 1 << 20, 20, 1800),
+    ]
+    for name, src, env_over, n, frames, budget in stages:
+        if filt and filt not in name:
+            continue
+        if not wait_tpu():
+            print("TPU never recovered; aborting", flush=True)
+            return
+        env = dict(os.environ)
+        env.update(env_over)
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, "-c", src, str(n), str(budget), str(frames)],
+            capture_output=True, text=True, timeout=budget + 120, env=env)
+        out = (p.stdout + p.stderr).strip().splitlines()
+        tail = [l for l in out if "RESULT" in l or "ALARM" in l
+                or "Error" in l][-2:]
+        print(f"{name} n={n}: rc={p.returncode} wall={time.time()-t0:.0f}s "
+              f"{' | '.join(tail) if tail else (out[-1] if out else '')}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

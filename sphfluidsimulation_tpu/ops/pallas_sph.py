@@ -91,6 +91,14 @@ class PallasTuning(NamedTuple):
     * ``fused``: single-dispatch substep (forces + wall + integrate in one
       kernel, rows-layout state) instead of the v6 sums-output kernel +
       XLA integrate tail.
+    * ``compact``: route density/force/fused dispatches through the v7
+      compact-lane kernel (ops/pallas_compact.py) — in-kernel candidate
+      compaction via dynamic lane rotates for dense pair lanes, and
+      in-kernel interval derivation from an SMEM slice of the cell-start
+      table. ``compact_rows`` is its row-tile height (the v6
+      ``rows_per_tile`` still defines the group geometry and rows-state
+      layout); ``compact_chunks`` caps the compact candidate buffer in
+      128-lane chunks (0 = auto from occupancy).
     """
 
     rows_per_tile: int = 64
@@ -100,6 +108,9 @@ class PallasTuning(NamedTuple):
     line_fudge: float = 4.0
     sort_lookup: bool = False
     fused: bool = True
+    compact: bool = False
+    compact_rows: int = 32
+    compact_chunks: int = 0
 
     @classmethod
     def from_env(cls) -> "PallasTuning":
@@ -116,6 +127,12 @@ class PallasTuning(NamedTuple):
                                              d.line_fudge)),
             sort_lookup=_os.environ.get("SPH_PALLAS_SS", "0") == "1",
             fused=_os.environ.get("SPH_PALLAS_FUSED", "1") == "1",
+            compact=_os.environ.get("SPH_PALLAS_COMPACT",
+                                    "1" if d.compact else "0") == "1",
+            compact_rows=int(_os.environ.get("SPH_PALLAS_CROWS",
+                                             d.compact_rows)),
+            compact_chunks=int(_os.environ.get("SPH_PALLAS_CK",
+                                               d.compact_chunks)),
         )
 
 
@@ -353,10 +370,17 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
     w_d = window_rows(n, r, 1, 1, tune, occ_hint)
     win_f, _ = window_bases(N_LINES_FORCE, 5, E_X, w_f)
     win_d, wbase_d = window_bases(N_LINES_DENS, 3, 1, w_d)
-    tiles_d, counts_d, clip_d = _line_intervals(
-        tc_lo, tc_hi, tile_is_pad, start, wbase_d, N_LINES_DENS, 3, 1,
-        w_d, n, r, tune, cid_s=cid_s, s_cells=s_cells, occ_hint=occ_hint)
-    clip_d = clip_d + band_cert
+    if tune.compact:
+        # the v7 compact kernel derives its intervals in-kernel from the
+        # start-table slice; its density cert comes from density_pass
+        tiles_d = jnp.zeros((n_tiles, 2 * N_LINES_DENS), jnp.int32)
+        counts_d = jnp.zeros((n_tiles, 1), jnp.int32)
+        clip_d = band_cert
+    else:
+        tiles_d, counts_d, clip_d = _line_intervals(
+            tc_lo, tc_hi, tile_is_pad, start, wbase_d, N_LINES_DENS, 3, 1,
+            w_d, n, r, tune, cid_s=cid_s, s_cells=s_cells, occ_hint=occ_hint)
+        clip_d = clip_d + band_cert
 
     frame = SortedFrame(order=order, cid=cid_s, raw=raw_s, occ=occ,
                         start=start, win_f=win_f, win_d=win_d,
@@ -941,6 +965,24 @@ def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
     return phys.mass * w_sum
 
 
+def density_pass(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
+                 r: int, n: int, tune: PallasTuning | None = None,
+                 occ_hint: float | None = None
+                 ) -> tuple[jax.Array, jax.Array]:
+    """(rho, cert) per sorted particle — dispatches v6/v7 by tune.compact.
+
+    v6's density truncation certificate lives in frame.clip_count (cert 0
+    here); the v7 compact kernel certifies its own coverage per dispatch.
+    """
+    tune = tune or default_tuning()
+    if tune.compact:
+        from . import pallas_compact
+        return pallas_compact.density_compact(frame, pos_s, phys, r, n,
+                                              tune, occ_hint)
+    return (density_pallas(frame, pos_s, phys, r, n, tune, occ_hint),
+            jnp.int32(0))
+
+
 def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
                   rho_s: jax.Array, phys: PhysParams, r: int, n: int, *,
                   xsph: float = 0.0, alpha_visc: float = 0.0,
@@ -959,6 +1001,12 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     """
     tune = tune or default_tuning()
     use_ext = xsph != 0.0 or alpha_visc != 0.0
+    if tune.compact and not use_ext:
+        # v7 route (its 8-lane unfused layout can't carry the 12 ext sums;
+        # ext configs stay on v6 for the unfused path)
+        from . import pallas_compact
+        return pallas_compact.forces_compact(
+            frame, pos_s, vel_s, rho_s, phys, r, n, tune=tune)
     fields = pack_fields(frame, pos_s, vel_s, rho_s, n, r, tune)
     rows = pack_rows(pos_s, vel_s, rho_s, None, n, tune)
     tiles_fr, counts_fr, clip_fr = fresh_force_intervals(frame, pos_s, n, r,
@@ -1057,6 +1105,11 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
     """
     tune = tune or default_tuning()
     use_ext = xsph != 0.0 or alpha_visc != 0.0
+    if tune.compact:
+        from . import pallas_compact
+        return pallas_compact.compact_substep(
+            frame, rows, phys, r, n, xsph=xsph, alpha_visc=alpha_visc,
+            tune=tune, band=band, occ_hint=occ_hint)
     pos_s = rows.reshape(-1, N_FIELDS)[:n, 0:3]
     fields = fields_from_rows(frame, rows, n, r, tune, occ_hint)
     tiles_fr, counts_fr, cert = fresh_force_intervals(frame, pos_s, n, r,

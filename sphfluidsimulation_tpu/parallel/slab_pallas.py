@@ -262,6 +262,10 @@ def make_pallas_slab_step(cfg: SimConfig, mesh: Mesh, *, axis: str = "sp",
     tune = tune or ps.default_tuning()
     if not tune.fused:
         tune = tune._replace(fused=True)
+    if tune.compact:
+        # the v7 compact kernel's banded (slab) composition is not yet
+        # validated; slab mode pins the v6 path until it is
+        tune = tune._replace(compact=False)
     spec = make_pallas_spec(cfg, mesh.shape[axis], halo=halo,
                             row_slack=row_slack, halo_slack=halo_slack,
                             hops=hops)

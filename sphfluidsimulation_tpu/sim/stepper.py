@@ -293,8 +293,8 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True,
                 pos, vel, nan_hits, cert = carry
                 frame, (pos_s, vel_s) = pallas_sph.build_frame(
                     pos, r, cap, extras=(pos, vel), tune=tune)
-                rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n,
-                                                  tune)
+                rho_s, dc = pallas_sph.density_pass(frame, pos_s, phys, r,
+                                                    n, tune)
                 f, dv, d = pallas_sph.forces_pallas(
                     frame, pos_s, vel_s, rho_s, phys, r, n, xsph=xsph,
                     alpha_visc=alpha, tune=tune)
@@ -305,15 +305,17 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True,
                 nan_u = (jnp.zeros(n, jnp.int32).at[frame.order]
                          .set(nan_mask.astype(jnp.int32)))
                 return (pos, vel, nan_hits + nan_u,
-                        cert + d + frame.clip_count), None
+                        cert + d + dc + frame.clip_count), None
 
             # frame-start aux for the overflow/density metrics (the
             # corrected branch of make_param_step reports these from the
             # pre-substep state too)
             frame0, (pos0_s,) = pallas_sph.build_frame(
                 state.pos, r, cap, extras=(state.pos,), tune=tune)
-            rho0_s = pallas_sph.density_pallas(frame0, pos0_s, phys, r, n,
-                                               tune)
+            # metric-only density: its truncation cert (if any) recurs in
+            # substep 1's own density_pass and is counted there
+            rho0_s, _ = pallas_sph.density_pass(frame0, pos0_s, phys, r, n,
+                                                tune)
             ovf = jnp.sum(~frame0.occ).astype(jnp.int32)
             rho_metric = (jnp.zeros(n, jnp.float32).at[frame0.order]
                           .set(rho0_s))
@@ -335,7 +337,8 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True,
         # pos/vel ride the sort as operands (gather-free permutation)
         frame, (pos_s, vel_s) = pallas_sph.build_frame(
             state.pos, r, cap, extras=(state.pos, state.vel), tune=tune)
-        rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n, tune)
+        rho_s, dcert = pallas_sph.density_pass(frame, pos_s, phys, r, n,
+                                               tune)
 
         if tune.fused:
             # single-dispatch substeps over the rows-layout state
@@ -380,7 +383,7 @@ def _make_pallas_step(cfg: SimConfig, *, faithful: bool = True,
         rho_metric = jnp.zeros(n, jnp.float32).at[frame.order].set(rho_s)
         # any nonzero drift/clip marks the frame as not-bitwise-exact
         m = _metrics(new_state, rho_metric, jnp.sum(nan_hits), ovf, phys,
-                     exact_cert=drift + frame.clip_count)
+                     exact_cert=drift + dcert + frame.clip_count)
         return new_state, m
 
     return step
@@ -422,7 +425,8 @@ def _make_pallas_rollout(cfg: SimConfig, n_frames: int,
         frame, (pos_s, vel_s, nan_s) = pallas_sph.build_frame(
             pos, r, cap, extras=(pos, vel, nan_count), gid=pid, tune=tune)
         pid_s = frame.order
-        rho_s = pallas_sph.density_pallas(frame, pos_s, phys, r, n, tune)
+        rho_s, dcert = pallas_sph.density_pass(frame, pos_s, phys, r, n,
+                                               tune)
 
         if tune.fused:
             rows = pallas_sph.pack_rows(pos_s, vel_s, rho_s, None, n, tune)
@@ -457,7 +461,7 @@ def _make_pallas_rollout(cfg: SimConfig, n_frames: int,
         st = ParticleState(pos=pos_s, vel=vel_s,
                            nan_count=nan_s + nan_hits)
         m = _metrics(st, rho_s, jnp.sum(nan_hits), ovf, phys,
-                     exact_cert=cert + frame.clip_count)
+                     exact_cert=cert + dcert + frame.clip_count)
         return pos_s, vel_s, st.nan_count, pid_s, m
 
     def unsort(pid, *arrs):
