@@ -68,6 +68,19 @@ def main() -> int:
         print(f"{n}: frame-1 particles within 1e-3 of f64 oracle: "
               f"{float((close < 1e-3).mean()):.3f}, within 1e-1: "
               f"{float((close < 1e-1).mean()):.3f}")
+
+    # calm-subset: particles whose ORACLE velocity stays < 10 over all
+    # frames (excludes the exploding tail the EOS itself produces) — the
+    # error a non-exploding particle accumulates in f32
+    ovel = oracle["vel"]
+    calm = (np.abs(ovel).max(axis=(0, 2)) < 10.0)
+    print(f"calm subset (oracle |v| < 10 all frames): "
+          f"{float(calm.mean()):.3f} of particles")
+    for n in names:
+        row = [f"{n} calm-RMSE/frame:"]
+        for fr in range(opos.shape[0]):
+            row.append(f"{rmse(backends[n]['pos'][fr][calm], opos[fr][calm]):.3e}")
+        print("  ".join(row))
     return 0
 
 

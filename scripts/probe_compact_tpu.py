@@ -13,6 +13,9 @@ import sys
 import time
 
 CHECK_SRC = r"""
+import sys as _s, os as _o
+_s.excepthook = lambda *a: (_s.__excepthook__(*a), _s.stdout.flush(),
+                            _o._exit(1))
 import os, signal, sys
 sys.path.insert(0, "/root/repo")
 
@@ -54,6 +57,9 @@ os._exit(0)
 """
 
 BENCH_SRC = r"""
+import sys as _s, os as _o
+_s.excepthook = lambda *a: (_s.__excepthook__(*a), _s.stdout.flush(),
+                            _o._exit(1))
 import os, signal, sys
 sys.path.insert(0, "/root/repo")
 

@@ -58,7 +58,6 @@ from .pallas_sph import (LANES, N_FIELDS, E_X, PallasTuning, SortedFrame,
 
 _PI = math.pi
 EX = 1          # x-cell slack on the fresh e=1 line ranges (as v6 fresh)
-TILE_UNROLL = 2  # row-tile fori unroll (amortizes loop bookkeeping)
 
 
 # --------------------------------------------------------------------------
@@ -536,9 +535,11 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
             [npx, npy, npz, nvx, nvy, nvz, rrho, aux], axis=1)
         return cert + tcert
 
+    # Mosaic fori_loop supports only unroll=1 or full unroll; the per-tile
+    # work is heavy enough that loop bookkeeping is noise here
     cert = jax.lax.fori_loop(0, ctpg, tile_body, jnp.int32(0),
-                             unroll=TILE_UNROLL)
-    cert_ref[0, 0] = cert
+                             unroll=False)
+    cert_ref[0, 0, 0] = cert
 
 
 def _call_compact(force: bool, fused: bool, use_ext: bool, r: int, n: int,
@@ -580,13 +581,13 @@ def _call_compact(force: bool, fused: bool, use_ext: bool, r: int, n: int,
         out_specs=[
             pl.BlockSpec((ctpg, crows, N_FIELDS), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda g: (g, 0),
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_groups * ctpg, crows, N_FIELDS),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, 1, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, w_rows, N_FIELDS, LANES), jnp.float32),

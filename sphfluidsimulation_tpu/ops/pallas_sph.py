@@ -967,18 +967,20 @@ def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
 
 def density_pass(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
                  r: int, n: int, tune: PallasTuning | None = None,
-                 occ_hint: float | None = None
+                 occ_hint: float | None = None,
+                 band: tuple[jax.Array, int] | None = None
                  ) -> tuple[jax.Array, jax.Array]:
     """(rho, cert) per sorted particle — dispatches v6/v7 by tune.compact.
 
     v6's density truncation certificate lives in frame.clip_count (cert 0
     here); the v7 compact kernel certifies its own coverage per dispatch.
+    ``band`` is the slab tier's (zbase, z_span) local cell-id band.
     """
     tune = tune or default_tuning()
     if tune.compact:
         from . import pallas_compact
         return pallas_compact.density_compact(frame, pos_s, phys, r, n,
-                                              tune, occ_hint)
+                                              tune, occ_hint, band=band)
     return (density_pallas(frame, pos_s, phys, r, n, tune, occ_hint),
             jnp.int32(0))
 

@@ -174,8 +174,8 @@ def _make_local_step(cfg: SimConfig, spec: PallasSlabSpec, axis: str,
         # -- stale density (once per frame, SphFluidSimulation.cs:98-100);
         # halo rows' local estimate is edge-truncated, so overwrite it
         # with the owner's value (one rho exchange)
-        rho_s = ps.density_pallas(frame, pos_s, phys, r, c_loc, tune,
-                                  occ_hint)
+        rho_s, dcert = ps.density_pass(frame, pos_s, phys, r, c_loc, tune,
+                                       occ_hint, band=band)
         rho_l = jnp.zeros(c_loc, jnp.float32).at[lidx_s].set(rho_s)
         hb_rho = pperm(rho_l[up_idx], up)
         ht_rho = pperm(rho_l[dn_idx], down)
@@ -212,7 +212,7 @@ def _make_local_step(cfg: SimConfig, spec: PallasSlabSpec, axis: str,
             rows = exchange_fresh(rows)
             return (rows, cert + c), None
 
-        cert0 = (frame.clip_count + lost + dn_drop + up_drop)
+        cert0 = (frame.clip_count + dcert + lost + dn_drop + up_drop)
         (rows, cert), _ = lax.scan(substep, (rows, cert0), None,
                                    length=cfg.substeps)
 
@@ -262,10 +262,6 @@ def make_pallas_slab_step(cfg: SimConfig, mesh: Mesh, *, axis: str = "sp",
     tune = tune or ps.default_tuning()
     if not tune.fused:
         tune = tune._replace(fused=True)
-    if tune.compact:
-        # the v7 compact kernel's banded (slab) composition is not yet
-        # validated; slab mode pins the v6 path until it is
-        tune = tune._replace(compact=False)
     spec = make_pallas_spec(cfg, mesh.shape[axis], halo=halo,
                             row_slack=row_slack, halo_slack=halo_slack,
                             hops=hops)

@@ -89,3 +89,40 @@ def test_slab_pallas_extensions_match_single_device():
     assert lost == 0 and int(m.exact_cert) == 0
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
                                atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_slab_pallas_compact_matches_single_device(n_dev):
+    """The v7 compact-lane kernel composed with the slab decomposition:
+    banded stale/fresh spans, per-band start-slice DMA, owner halo
+    overwrite — must reproduce the single-device compact path with
+    cert 0 on the calm config."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+
+    tune = PallasTuning(fused=True, compact=True)
+    mesh = _mesh(n_dev)
+    step, spec = slab_pallas.make_pallas_slab_step(CALM, mesh,
+                                                   row_slack=4.0,
+                                                   tune=tune)
+    step = jax.jit(step)
+    phys = PhysParams.from_config(CALM)
+    state0 = initial_state(CALM)
+    sst = slab.distribute(state0, CALM, spec, mesh)
+
+    ref_step = jax.jit(make_param_step(CALM, neighbor="pallas",
+                                       pallas_tune=tune))
+    ref = state0
+    for _ in range(3):
+        sst, m = step(sst, phys)
+        ref, mr = ref_step(ref, phys)
+    assert int(m.exact_cert) == 0
+    assert int(mr.exact_cert) == 0
+    assert int(m.overflow) == int(mr.overflow)
+
+    out, lost = slab.collect(sst, CALM.n_particles)
+    assert lost == 0
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               atol=2e-4)
