@@ -85,17 +85,32 @@ os._exit(0)
 
 
 def wait_tpu(max_wait=2700):
+    """Ready == a FRESH Mosaic compile succeeds (not just a dispatch: the
+    remote tpu_compile_helper recovers long after dispatch does, and its
+    broken state 500s every pallas compile)."""
+    probe = (
+        "import signal,sys,os;signal.alarm(240)\n"
+        "import jax,jax.numpy as jnp\n"
+        "from jax.experimental import pallas as pl\n"
+        "import time\n"
+        "c = float(int(time.time()) % 100000)  # cache-bust constant\n"
+        "def k(x_ref, o_ref):\n"
+        "    o_ref[...] = x_ref[...] + c\n"
+        "f = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8, 128),"
+        " jnp.float32))\n"
+        "y = float(jnp.sum(f(jnp.ones((8, 128), jnp.float32))))\n"
+        "assert abs(y - (1 + c) * 8 * 128) < 1e-3, y\n"
+        "print('up', flush=True); os._exit(0)\n")
     t0 = time.time()
     while time.time() - t0 < max_wait:
-        rc = subprocess.run(
-            [sys.executable, "-c",
-             "import signal,sys,os;signal.alarm(90);import jax,jax.numpy as j;"
-             "float(j.sum(j.ones(8)));print('up',flush=True);os._exit(0)"],
-            capture_output=True, text=True, timeout=150)
+        rc = subprocess.run([sys.executable, "-c", probe],
+                            capture_output=True, text=True, timeout=300)
         if rc.returncode == 0 and "up" in rc.stdout:
             return True
-        print(f"  tpu not ready (rc={rc.returncode}); waiting", flush=True)
-        time.sleep(30)
+        tail = (rc.stdout + rc.stderr).strip().splitlines()
+        tail = tail[-1][:120] if tail else ""
+        print(f"  tpu not ready (rc={rc.returncode}) {tail}", flush=True)
+        time.sleep(45)
     return False
 
 
