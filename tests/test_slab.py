@@ -123,6 +123,38 @@ def test_slab_cert_fires_on_overdrift():
 
 
 @pytest.mark.slow
+def test_slab_preset_spawn_jitter_certifies_frame_1():
+    """Pins the documented slab jitter contract (slab._build_i_local
+    docstring): preset spawns overshoot the unit cube (InitParticles'
+    simplex jitter), single-device sites handles the out-of-cube cells
+    exactly via its delta-widened window, while a slab run clamps those
+    evaluation cells into the band and CERTIFIES frame 1 as non-exact —
+    one certificate count per jittered particle, never silent."""
+    from sphfluidsimulation_tpu.sim.stepper import initial_state
+
+    cfg = SimConfig(particle_number=1024, bucket_resolution=11,
+                    site_capacity=24, preset=1).replace(
+                        gas_constant=0.2, viscosity=0.05)
+    st = initial_state(cfg)
+    r = cfg.bucket_resolution
+    cell = (np.asarray(st.pos) * (r - 1)).astype(np.int32)
+    n_jitter = int((cell != np.clip(cell, 0, r - 1)).any(-1).sum())
+    assert n_jitter > 0  # preset 1 @1024 spawns outside the cube
+
+    mesh = _mesh((2,), ("sp",))
+    phys = PhysParams.from_config(cfg)
+    step, spec = slab.make_slab_step(cfg, mesh)
+    sst = slab.distribute(st, cfg, spec, mesh)
+    sst, m = jax.jit(step)(sst, phys)
+    out, lost = slab.collect(sst, cfg.n_particles)
+
+    assert lost == 0
+    # every jittered particle is certified (plus any drift/capacity certs)
+    assert int(m.exact_cert) >= n_jitter
+    assert np.isfinite(np.asarray(out.pos)).all()
+
+
+@pytest.mark.slow
 def test_batched_slab_dp_sp():
     """2 scenes × 4 slabs: each scene matches its own single-device run."""
     cfg = _calm_cfg()
