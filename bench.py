@@ -31,20 +31,35 @@ def _arm(seconds: int) -> None:
 
 def _wait_tpu_recovery(max_wait: float = 2400.0) -> None:
     """After a 'TPU worker process crashed', the tunnel needs up to ~40
-    minutes to recover; retry a trivial dispatch until the device
-    answers."""
+    minutes to recover; retry until the device answers.
+
+    Ready == a FRESH (cache-busted) Mosaic compile succeeds: plain
+    dispatches recover well before the remote tpu_compile_helper fleet
+    does, and a broken helper 500s every real pallas compile while
+    ``jnp.sum`` happily runs."""
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
 
     t0 = time.time()
+    attempt = 0
     while time.time() - t0 < max_wait:
         try:
-            _arm(60)
-            float(jnp.sum(jnp.ones(8)))
+            _arm(240)
+            c = jnp.float32((int(time.time()) % 100000) + attempt)
+
+            def _k(x_ref, o_ref, c=c):
+                o_ref[...] = x_ref[...] + c
+
+            f = pl.pallas_call(_k, out_shape=jax.ShapeDtypeStruct(
+                (8, 128), jnp.float32))
+            y = float(jnp.sum(f(jnp.ones((8, 128), jnp.float32))))
             signal.alarm(0)
+            assert y == y  # finite dispatch completed
             return
         except Exception:  # noqa: BLE001
             signal.alarm(0)
+            attempt += 1
             time.sleep(30)
 
 
