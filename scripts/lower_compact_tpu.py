@@ -36,19 +36,28 @@ from sphfluidsimulation_tpu.sim.stepper import (  # noqa: E402
 
 def main() -> int:
     rc = 0
-    for n, crows in ((1 << 14, 32), (1 << 18, 32), (1 << 18, 16),
-                     (1 << 18, 64)):
+    cases = [
+        ("v7", 1 << 14, dict(compact=True)),
+        ("v7", 1 << 18, dict(compact=True)),
+        ("v7-r16", 1 << 18, dict(compact=True, compact_rows=16)),
+        ("v7-r64", 1 << 18, dict(compact=True, compact_rows=64)),
+        # v6 (4-field density window) + the bf16 pair-packed variants
+        ("v6", 1 << 14, dict(compact=False)),
+        ("v6-bf16", 1 << 14, dict(compact=False, bf16=True)),
+        ("v7-bf16", 1 << 14, dict(compact=True, bf16=True)),
+    ]
+    for name, n, kw in cases:
         cfg = scaled_config(n)
         st = initial_state(cfg)
         phys = PhysParams.from_config(cfg)
-        tune = PallasTuning(fused=True, compact=True, compact_rows=crows)
+        tune = PallasTuning(fused=True, **kw)
         try:
             jax.jit(make_param_step(cfg, neighbor="pallas",
                                     pallas_tune=tune)).lower(st, phys)
-            print(f"n={n} crows={crows}: lower OK", flush=True)
+            print(f"{name} n={n}: lower OK", flush=True)
         except Exception as e:  # noqa: BLE001 — report every config
             rc = 1
-            print(f"n={n} crows={crows}: LOWER FAILED\n"
+            print(f"{name} n={n}: LOWER FAILED\n"
                   + "\n".join(str(e).splitlines()[:6]), flush=True)
     return rc
 

@@ -236,7 +236,7 @@ def padded_start(frame: SortedFrame, s_slice: int, s_cells: int,
 
 def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
                     w_rows: int, s_slice: int, ck: int, crows: int,
-                    ctpg: int, s_cells: int,
+                    ctpg: int, s_cells: int, n_wf: int,
                     win_ref, win_nxt_ref, sb_ref, sb_nxt_ref, spans_ref,
                     rows_ref, scal_ref, fields_ref, start_ref,
                     out_ref, cert_ref, scratch, sems, slc, slc_sems):
@@ -246,12 +246,13 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
     rf = jnp.float32(r)
     g = pl.program_id(0)
     slot = jax.lax.rem(g, 2)
+    bf16 = n_wf == 6    # force window with bf16 pair-packed vel/rho
 
     def _win_copies(slot_idx, wref):
         return [pltpu.make_async_copy(
             fields_ref.at[f, pl.ds(wref[0, 0, 0], w_rows)],
             scratch.at[slot_idx, :, f],
-            sems.at[slot_idx, f]) for f in range(N_FIELDS)]
+            sems.at[slot_idx, f]) for f in range(n_wf)]
 
     def _slice_copy(slot_idx, sref):
         off = pl.multiple_of(sref[0, 0, 0], 1024)
@@ -291,8 +292,8 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
     # one-scalar running dedup below is exact (r > 4 so r*r > 2*r)
     offs = [dz * r * r + dy * r for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
 
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    zero_chunk = jnp.zeros((8, LANES), jnp.float32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (n_wf, LANES), 1)
+    zero_chunk = jnp.zeros((n_wf, LANES), jnp.float32)
 
     def tile_body(rt, cert):
         rows = rows_ref[rt]                               # (crows, 8)
@@ -405,7 +406,12 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
                 acc[0] = acc[0] + w * gate
                 return acc
 
-            rho_j = blk[7:8, :]
+            if bf16:
+                vjx, vjy = v6.unpack_pair_bf16(blk[4:5, :])
+                vjz, rho_j = v6.unpack_pair_bf16(blk[5:6, :])
+            else:
+                vjx, vjy, vjz = blk[4:5, :], blk[5:6, :], blk[6:7, :]
+                rho_j = blk[7:8, :]
             rho_ok = rho_j > EPSILON                 # VelPos.compute:91
             inv_rho = jnp.where(rho_ok, 1.0, 0.0) / jnp.where(
                 rho_ok, rho_j, 1.0)
@@ -422,21 +428,21 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
             acc[1] = acc[1] + pc * dyv
             acc[2] = acc[2] + pc * dzv
             vc = gate * gwv * inv_rho
-            acc[3] = acc[3] + vc * (blk[4:5, :] - rvx)
-            acc[4] = acc[4] + vc * (blk[5:6, :] - rvy)
-            acc[5] = acc[5] + vc * (blk[6:7, :] - rvz)
+            acc[3] = acc[3] + vc * (vjx - rvx)
+            acc[4] = acc[4] + vc * (vjy - rvy)
+            acc[5] = acc[5] + vc * (vjz - rvz)
             if use_ext:
                 d2 = h2 - r2
                 w6 = jnp.where(d2 > 0, c_poly6 * d2 * d2 * d2 / h9, 0.0)
                 denom = rrho + rho_j
                 xc = gate * jnp.where(denom > EPSILON, 2.0, 0.0) \
                     / jnp.where(denom > EPSILON, denom, 1.0) * w6
-                acc[6] = acc[6] + xc * (blk[4:5, :] - rvx)
-                acc[7] = acc[7] + xc * (blk[5:6, :] - rvy)
-                acc[8] = acc[8] + xc * (blk[6:7, :] - rvz)
-                dvx2 = rvx - blk[4:5, :]
-                dvy2 = rvy - blk[5:6, :]
-                dvz2 = rvz - blk[6:7, :]
+                acc[6] = acc[6] + xc * (vjx - rvx)
+                acc[7] = acc[7] + xc * (vjy - rvy)
+                acc[8] = acc[8] + xc * (vjz - rvz)
+                dvx2 = rvx - vjx
+                dvy2 = rvy - vjy
+                dvz2 = rvz - vjz
                 vr = dvx2 * dxv + dvy2 * dyv + dvz2 * dzv
                 rho_bar = 0.5 * (rrho + rho_j)
                 mu = h * vr / (r2 + 0.01 * h2)
@@ -554,9 +560,11 @@ def _call_compact(force: bool, fused: bool, use_ext: bool, r: int, n: int,
     w_rows = window_rows(n, r, 2, E_X, tune, occ_hint)
     ck = compact_chunks(n, r, tune, occ_hint)
     s_slice = slice_cells(n, r, tune, occ_hint, s_cells)
+    n_wf = v6.n_window_fields(force, tune)
 
     kernel = functools.partial(_compact_kernel, force, fused, use_ext, r,
-                               w_rows, s_slice, ck, crows, ctpg, s_cells)
+                               w_rows, s_slice, ck, crows, ctpg, s_cells,
+                               n_wf)
     out, cert = pl.pallas_call(
         kernel,
         grid=(n_groups,),
@@ -590,8 +598,8 @@ def _call_compact(force: bool, fused: bool, use_ext: bool, r: int, n: int,
             jax.ShapeDtypeStruct((n_groups, 1, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, w_rows, N_FIELDS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, N_FIELDS)),
+            pltpu.VMEM((2, w_rows, n_wf, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_wf)),
             pltpu.SMEM((2, s_slice), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -615,7 +623,7 @@ def density_compact(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
     zeros3 = jnp.zeros_like(pos_s)
     zeros1 = jnp.zeros(pos_s.shape[0], jnp.float32)
     fields = v6.pack_fields(frame, pos_s, zeros3, zeros1, n, r, tune,
-                            occ_hint)
+                            occ_hint, force=False)
     rows = v6.pack_rows(pos_s, zeros3, zeros1, None, n, tune)
     rows_c = rows.reshape(-1, tune.compact_rows, N_FIELDS)
     spans = stale_spans(frame, n, r, tune, s_cells)

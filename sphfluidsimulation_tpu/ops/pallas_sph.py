@@ -99,6 +99,14 @@ class PallasTuning(NamedTuple):
       ``rows_per_tile`` still defines the group geometry and rows-state
       layout); ``compact_chunks`` caps the compact candidate buffer in
       128-lane chunks (0 = auto from occupancy).
+    * ``bf16``: candidate (j-side) velocity and density ride the window
+      DMA as bfloat16 pairs packed into f32 lanes (6 window fields
+      instead of 8 — 25% less force-window DMA/pack traffic). Positions
+      stay f32: ``h - |r|`` suffers catastrophic cancellation at the
+      support edge. Opt-in QUALITY trade — pair sums see vel/rho rounded
+      to 8 mantissa bits; the i-side rows state stays full f32, so
+      nothing accumulates across substeps. Candidate COVERAGE (and the
+      exactness certificate) is unaffected.
     """
 
     rows_per_tile: int = 64
@@ -111,6 +119,7 @@ class PallasTuning(NamedTuple):
     compact: bool = False
     compact_rows: int = 32
     compact_chunks: int = 0
+    bf16: bool = False
 
     @classmethod
     def from_env(cls) -> "PallasTuning":
@@ -133,12 +142,49 @@ class PallasTuning(NamedTuple):
                                              d.compact_rows)),
             compact_chunks=int(_os.environ.get("SPH_PALLAS_CK",
                                                d.compact_chunks)),
+            bf16=_os.environ.get("SPH_PALLAS_BF16",
+                                 "1" if d.bf16 else "0") == "1",
         )
 
 
 def default_tuning() -> PallasTuning:
     """Call-time default: env overrides resolved when used, not at import."""
     return PallasTuning.from_env()
+
+
+def n_window_fields(force: bool, tune: PallasTuning) -> int:
+    """Candidate-window field count for one pass.
+
+    Density (Density.compute:42-54) reads only candidate positions and
+    cells — its window DMAs 4 fields, not 8 (half the bytes, bit-identical
+    result). The force window carries vel+rho too: 8 f32 fields, or 6
+    when ``tune.bf16`` pair-packs them.
+    """
+    if not force:
+        return 4
+    return 6 if tune.bf16 else 8
+
+
+def _pack_pair_bf16(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Two f32 columns -> one f32 column holding (bf16(a) << 16 | bf16(b)).
+
+    Round-to-nearest via ``astype(bfloat16)``; the kernel-side unpack is
+    two bit ops per value (f32 = bf16 bits << 16)."""
+    ua = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16),
+                                      jnp.uint16).astype(jnp.uint32)
+    ub = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16),
+                                      jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((ua << 16) | ub, jnp.float32)
+
+
+def unpack_pair_bf16(lane: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Kernel-side inverse of :func:`_pack_pair_bf16` (hi, lo) — a bf16's
+    f32 value is its bit pattern shifted into the f32 high half."""
+    u = jax.lax.bitcast_convert_type(lane, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return hi, lo
 
 
 def _interpret() -> bool:
@@ -538,13 +584,16 @@ def fresh_force_intervals(frame: SortedFrame, pos_s: jax.Array, n: int,
 def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
                 rho_s: jax.Array, n: int, r: int,
                 tune: PallasTuning,
-                occ_hint: float | None = None) -> jax.Array:
-    """Sorted SoA -> f32[fields_rows(n, r), 8, 128] field rows
-    (lane = particle).
+                occ_hint: float | None = None, *,
+                force: bool = True) -> jax.Array:
+    """Sorted SoA -> f32[n_wf, fields_rows(n, r), 128] field-major rows
+    (lane = particle, n_wf = :func:`n_window_fields`).
 
     cid_enc is the stale flat cell id for bucketed particles, -1 otherwise
     (reproducing the capacity drop, Bucket.compute:30-35). Trailing guard
-    rows keep the fixed-size window DMAs in-bounds.
+    rows keep the fixed-size window DMAs in-bounds. Density windows carry
+    only the 4 position/cell fields; force windows add vel+rho (f32, or
+    bf16 pair-packed under ``tune.bf16``).
     """
     npad = padded_n(n, tune)
     # candidates advertise their RAW cell — what the reference's bucket
@@ -555,16 +604,24 @@ def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
         return jnp.pad(a, (0, npad - n), constant_values=fill)
 
     cols = [padf(pos_s[:, 0], 2.0), padf(pos_s[:, 1], 2.0),
-            padf(pos_s[:, 2], 2.0), padf(cid_enc, -1.0),
-            padf(vel_s[:, 0], 0.0), padf(vel_s[:, 1], 0.0),
-            padf(vel_s[:, 2], 0.0), padf(rho_s, 0.0)]
-    # FIELD-MAJOR [8, NB, 128]: a pure reshape (no relayout — transposing
-    # to row-major [NB, 8, 128] costs ~13 ms/substep at 262k because the
-    # minor-dim-8 relayout runs at ~1 GB/s). The kernel instead issues one
-    # window DMA per field, interleaving into the row-major scratch.
-    fields = jnp.stack(cols, axis=0).reshape(N_FIELDS, npad // LANES, LANES)
+            padf(pos_s[:, 2], 2.0), padf(cid_enc, -1.0)]
+    if force and tune.bf16:
+        cols += [_pack_pair_bf16(padf(vel_s[:, 0], 0.0),
+                                 padf(vel_s[:, 1], 0.0)),
+                 _pack_pair_bf16(padf(vel_s[:, 2], 0.0),
+                                 padf(rho_s, 0.0))]
+    elif force:
+        cols += [padf(vel_s[:, 0], 0.0), padf(vel_s[:, 1], 0.0),
+                 padf(vel_s[:, 2], 0.0), padf(rho_s, 0.0)]
+    n_wf = n_window_fields(force, tune)
+    # FIELD-MAJOR [n_wf, NB, 128]: a pure reshape (no relayout —
+    # transposing to row-major [NB, n_wf, 128] costs ~13 ms/substep at
+    # 262k because the minor-dim-8 relayout runs at ~1 GB/s). The kernel
+    # instead issues one window DMA per field, interleaving into the
+    # row-major scratch.
+    fields = jnp.stack(cols, axis=0).reshape(n_wf, npad // LANES, LANES)
     n_guard = fields_rows(n, r, tune, occ_hint) - npad // LANES
-    guard = jnp.zeros((N_FIELDS, n_guard, LANES), jnp.float32)
+    guard = jnp.zeros((n_wf, n_guard, LANES), jnp.float32)
     guard = guard.at[3].set(-1.0)
     return jnp.concatenate([fields, guard], axis=1)
 
@@ -633,15 +690,17 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
     rf = jnp.float32(r)
     g = pl.program_id(0)
     slot = jax.lax.rem(g, 2)
+    n_wf = n_window_fields(force, tune)
 
     def _copies(slot_idx, wref):
         # one window DMA per field: HBM fields are field-major (pure
-        # reshape, no relayout), and the 8 strided copies interleave into
-        # the row-major scratch the compute loop reads as (8, 128) chunks
+        # reshape, no relayout), and the n_wf strided copies interleave
+        # into the row-major scratch the compute loop reads as
+        # (n_wf, 128) chunks
         return [pltpu.make_async_copy(
             fields_ref.at[f, pl.ds(wref[0, 0, 0], w_rows)],
             scratch.at[slot_idx, :, f],
-            sems.at[slot_idx, f]) for f in range(N_FIELDS)]
+            sems.at[slot_idx, f]) for f in range(n_wf)]
 
     # Prologue: the first group fetches its own window.
     @pl.when(g == 0)
@@ -724,7 +783,12 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 acc[0] = acc[0] + w * gate
                 return acc
 
-            rho_j = blk[7:8, :]
+            if tune.bf16:
+                vjx, vjy = unpack_pair_bf16(blk[4:5, :])
+                vjz, rho_j = unpack_pair_bf16(blk[5:6, :])
+            else:
+                vjx, vjy, vjz = blk[4:5, :], blk[5:6, :], blk[6:7, :]
+                rho_j = blk[7:8, :]
             rho_ok = rho_j > EPSILON                  # VelPos.compute:91
             # fold the rho guard into the (single) reciprocal: masked
             # lanes get 1/rho == 0 and drop out of both force terms
@@ -749,9 +813,9 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             acc[1] = acc[1] + pc * dyv
             acc[2] = acc[2] + pc * dzv
             vc = gate * gwv * inv_rho
-            acc[3] = acc[3] + vc * (blk[4:5, :] - rvx)
-            acc[4] = acc[4] + vc * (blk[5:6, :] - rvy)
-            acc[5] = acc[5] + vc * (blk[6:7, :] - rvz)
+            acc[3] = acc[3] + vc * (vjx - rvx)
+            acc[4] = acc[4] + vc * (vjy - rvy)
+            acc[5] = acc[5] + vc * (vjz - rvz)
 
             if use_ext:
                 # XSPH raw sum: 2/(rho_i+rho_j) W_poly6 (v_j - v_i)
@@ -761,14 +825,14 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 denom = rrho + rho_j
                 xc = gate * jnp.where(denom > EPSILON, 2.0, 0.0) \
                     / jnp.where(denom > EPSILON, denom, 1.0) * w6
-                acc[6] = acc[6] + xc * (blk[4:5, :] - rvx)
-                acc[7] = acc[7] + xc * (blk[5:6, :] - rvy)
-                acc[8] = acc[8] + xc * (blk[6:7, :] - rvz)
+                acc[6] = acc[6] + xc * (vjx - rvx)
+                acc[7] = acc[7] + xc * (vjy - rvy)
+                acc[8] = acc[8] + xc * (vjz - rvz)
                 # Monaghan PI raw sum: PI gwp d (alpha, m^2 folded
                 # outside; cs = sqrt(gas_k))
-                dvx2 = rvx - blk[4:5, :]
-                dvy2 = rvy - blk[5:6, :]
-                dvz2 = rvz - blk[6:7, :]
+                dvx2 = rvx - vjx
+                dvy2 = rvy - vjy
+                dvz2 = rvz - vjz
                 vr = dvx2 * dxv + dvy2 * dyv + dvz2 * dzv
                 rho_bar = 0.5 * (rrho + rho_j)
                 mu = h * vr / (r2 + 0.01 * h2)
@@ -897,6 +961,7 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
                  fields, *, use_ext: bool = False, fused: bool = False):
     n_groups = win.shape[0] - 1
     out_lanes = N_FIELDS if fused else OUT_LANES
+    n_wf = n_window_fields(force, tune)
     kernel = functools.partial(_sph_kernel, n_lines, force, r,
                                use_ext, w_rows, tune, fused)
     return pl.pallas_call(
@@ -926,8 +991,8 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
             (n_groups * tune.tiles_per_group, tune.rows_per_tile,
              out_lanes), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, w_rows, N_FIELDS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, N_FIELDS)),
+            pltpu.VMEM((2, w_rows, n_wf, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_wf)),
         ],
         interpret=_interpret(),
     )(win, win, tiles, counts, rows, scal, fields)
@@ -955,7 +1020,8 @@ def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
     tune = tune or default_tuning()
     zeros3 = jnp.zeros_like(pos_s)
     zeros1 = jnp.zeros(pos_s.shape[0], jnp.float32)
-    fields = pack_fields(frame, pos_s, zeros3, zeros1, n, r, tune, occ_hint)
+    fields = pack_fields(frame, pos_s, zeros3, zeros1, n, r, tune, occ_hint,
+                         force=False)
     rows = pack_rows(pos_s, zeros3, zeros1, None, n, tune)
     out = _call_kernel(N_LINES_DENS, False, r,
                        window_rows(n, r, 1, 1, tune, occ_hint), tune,
@@ -1065,14 +1131,21 @@ def fields_from_rows(frame: SortedFrame, rows: jax.Array, n: int, r: int,
     cols = [jnp.where(pad, 2.0, rows2[:, 0]),
             jnp.where(pad, 2.0, rows2[:, 1]),
             jnp.where(pad, 2.0, rows2[:, 2]),
-            cid_enc,
-            jnp.where(pad, 0.0, rows2[:, 3]),
-            jnp.where(pad, 0.0, rows2[:, 4]),
-            jnp.where(pad, 0.0, rows2[:, 5]),
-            jnp.where(pad, 0.0, rows2[:, 6])]
-    fields = jnp.stack(cols, axis=0).reshape(N_FIELDS, npad // LANES, LANES)
+            cid_enc]
+    if tune.bf16:
+        cols += [_pack_pair_bf16(jnp.where(pad, 0.0, rows2[:, 3]),
+                                 jnp.where(pad, 0.0, rows2[:, 4])),
+                 _pack_pair_bf16(jnp.where(pad, 0.0, rows2[:, 5]),
+                                 jnp.where(pad, 0.0, rows2[:, 6]))]
+    else:
+        cols += [jnp.where(pad, 0.0, rows2[:, 3]),
+                 jnp.where(pad, 0.0, rows2[:, 4]),
+                 jnp.where(pad, 0.0, rows2[:, 5]),
+                 jnp.where(pad, 0.0, rows2[:, 6])]
+    n_wf = n_window_fields(True, tune)
+    fields = jnp.stack(cols, axis=0).reshape(n_wf, npad // LANES, LANES)
     n_guard = fields_rows(n, r, tune, occ_hint) - npad // LANES
-    guard = jnp.zeros((N_FIELDS, n_guard, LANES), jnp.float32)
+    guard = jnp.zeros((n_wf, n_guard, LANES), jnp.float32)
     guard = guard.at[3].set(-1.0)
     return jnp.concatenate([fields, guard], axis=1)
 

@@ -245,3 +245,35 @@ def test_fused_substep_matches_unfused_extensions():
     np.testing.assert_allclose(np.asarray(sf.vel), np.asarray(su.vel),
                                atol=1e-6)
     assert _cert(mf) == _cert(mu)
+
+
+@pytest.mark.parametrize("compact", [False, True])
+def test_bf16_candidate_fields_track_f32(compact):
+    """Opt-in bf16 pair-packed candidate vel/rho (PallasTuning.bf16): the
+    j-side velocity/density ride the window DMA rounded to 8 mantissa
+    bits, the i-side rows state stays f32, and candidate COVERAGE is
+    unchanged — so certificates stay 0 on the calm config and the
+    trajectory tracks the f32 run to bf16 quantization tolerance (forces
+    are smooth in vel/rho; nothing accumulates beyond the integrator)."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    st_a = st_b = initial_state(CALM)
+    phys = PhysParams.from_config(CALM)
+    t = PallasTuning(fused=True, compact=compact)
+    step_a = jax.jit(make_param_step(CALM, neighbor="pallas",
+                                     pallas_tune=t))
+    step_b = jax.jit(make_param_step(CALM, neighbor="pallas",
+                                     pallas_tune=t._replace(bf16=True)))
+    for _ in range(2):
+        st_a, ma = step_a(st_a, phys)
+        st_b, mb = step_b(st_b, phys)
+    # density pass is bf16-agnostic (positions stay f32) -> rho identical
+    np.testing.assert_array_equal(np.asarray(ma.mean_density),
+                                  np.asarray(mb.mean_density))
+    assert _cert(ma) == _cert(mb) == 0
+    assert _ovf(ma) == _ovf(mb)
+    np.testing.assert_allclose(np.asarray(st_a.pos), np.asarray(st_b.pos),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(st_a.vel), np.asarray(st_b.vel),
+                               atol=5e-2)
