@@ -277,3 +277,31 @@ def test_bf16_candidate_fields_track_f32(compact):
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(st_a.vel), np.asarray(st_b.vel),
                                atol=5e-2)
+
+
+def test_compact_kernel_matches_v6():
+    """v7 compact-lane kernel (in-kernel candidate compaction + SMEM
+    interval derivation, ops/pallas_compact.py) vs the v6 fused kernel on
+    the calm config: same candidate set by construction (cert 0 both), so
+    trajectories may differ only by f32 accumulation order."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    st_6 = st_7 = initial_state(CALM)
+    phys = PhysParams.from_config(CALM)
+    step_6 = jax.jit(make_param_step(
+        CALM, neighbor="pallas", pallas_tune=PallasTuning(fused=True)))
+    step_7 = jax.jit(make_param_step(
+        CALM, neighbor="pallas",
+        pallas_tune=PallasTuning(fused=True, compact=True)))
+    for _ in range(3):
+        st_6, m6 = step_6(st_6, phys)
+        st_7, m7 = step_7(st_7, phys)
+    np.testing.assert_allclose(np.asarray(st_6.pos), np.asarray(st_7.pos),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st_6.vel), np.asarray(st_7.vel),
+                               atol=2e-4)
+    assert _cert(m6) == _cert(m7) == 0
+    assert _ovf(m6) == _ovf(m7)
+    np.testing.assert_array_equal(np.asarray(st_6.nan_count),
+                                  np.asarray(st_7.nan_count))
