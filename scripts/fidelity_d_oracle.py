@@ -23,9 +23,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-set + live-config update: the harness pins JAX_PLATFORMS=axon and
+# its sitecustomize imports jax at interpreter start, so setdefault alone
+# leaves the preset-spawn jax call dispatching to the (possibly down) TPU
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 
-import numpy as np
+import numpy as np  # noqa: E402
 
 N_FRAMES = 5
 CHUNK = 4096
@@ -137,22 +142,31 @@ def wall_force(pos, vel, h, stiff, damp, mass):
 
 
 def main() -> int:
+    """argv: [dt_scale [n_frames]] — dt_scale > 1 runs the dt-sensitivity
+    variant (substep dt divided by dt_scale, same pipeline, f64): if the
+    golden 65k explosion survives a 5x/25x smaller timestep it is EOS
+    physics; if it calms, the reference's own dt sits outside the stable
+    regime of its EOS at this scale (either way the f32 backends are
+    faithful). Saves oracle_dt{scale}_65k.npz."""
     t0 = time.time()
     from sphfluidsimulation_tpu.bench import scaled_config
     from sphfluidsimulation_tpu.models.presets import init_positions
+
+    dt_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else N_FRAMES
 
     cfg = scaled_config(1 << 16)
     r = cfg.bucket_resolution
     h = cfg.effective_radius
     mass = cfg.particle_mass
-    dt = cfg.substep_dt
+    dt = cfg.substep_dt / dt_scale
 
     pos = np.asarray(init_positions(cfg), np.float64)
     vel = np.zeros_like(pos)
     frames = []
     vels = []
     nan_events = 0
-    for fr in range(N_FRAMES):
+    for fr in range(n_frames):
         table, _ = build_bucket_np(pos, r)
         rho = density_pass(pos, table, r, h, mass)
         for _ in range(cfg.substeps):
@@ -175,11 +189,14 @@ def main() -> int:
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "examples", "fidelity_d")
     os.makedirs(out, exist_ok=True)
+    name = ("oracle_65k.npz" if dt_scale == 1
+            else f"oracle_dt{dt_scale}_65k.npz")
     np.savez_compressed(
-        os.path.join(out, "oracle_65k.npz"),
+        os.path.join(out, name),
         pos=np.stack(frames), vel=np.stack(vels),
-        n=cfg.n_particles, r=r, nan_events=nan_events)
-    print(f"saved {out}/oracle_65k.npz ({time.time() - t0:.0f}s)")
+        n=cfg.n_particles, r=r, nan_events=nan_events,
+        dt_scale=dt_scale)
+    print(f"saved {out}/{name} ({time.time() - t0:.0f}s)")
     return 0
 
 

@@ -56,6 +56,22 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples", "fidelity_d")
 
 
+def _retry(f, tries=8, wait=25):
+    """Individual remote tpu_compile_helper requests 500 while the fleet
+    reinitializes after a worker crash; compiled Mosaic kernels are cached
+    in-process, so retrying the same jit call accumulates progress."""
+    for t in range(tries):
+        try:
+            return f()
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if "remote_compile" not in msg and "Mosaic" not in msg:
+                raise
+            print(f"  compile retry {t}: {msg[:90]}", flush=True)
+            time.sleep(wait)
+    raise RuntimeError("compile retries exhausted")
+
+
 def run_traj(neighbor: str) -> int:
     cfg = scaled_config(1 << 16)
     st = initial_state(cfg)
@@ -63,7 +79,8 @@ def run_traj(neighbor: str) -> int:
     t0 = time.time()
     frames, vels = [], []
     for fr in range(N_FRAMES):
-        st, m = step(st)
+        st, m = (_retry(lambda: step(st)) if fr == 0 and ON_TPU
+                 else step(st))
         frames.append(np.asarray(st.pos))
         vels.append(np.asarray(st.vel))
         print(f"frame {fr + 1}: mean_rho={float(m.mean_density):.6f} "
@@ -87,7 +104,7 @@ def run_dt() -> int:
         t0 = time.time()
         mv_trace = []
         for fr in range(N_FRAMES):
-            st, m = step(st)
+            st, m = _retry(lambda: step(st)) if fr == 0 else step(st)
             mv_trace.append(float(m.max_speed))
         print(f"dt/{scale:<3} substep_dt={cfg.substep_dt:.3e} "
               f"max_v per frame: "
