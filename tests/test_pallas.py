@@ -247,6 +247,7 @@ def test_fused_substep_matches_unfused_extensions():
     assert _cert(mf) == _cert(mu)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("compact", [False, True])
 def test_bf16_candidate_fields_track_f32(compact):
     """Opt-in bf16 pair-packed candidate vel/rho (PallasTuning.bf16): the
@@ -279,6 +280,7 @@ def test_bf16_candidate_fields_track_f32(compact):
                                atol=5e-2)
 
 
+@pytest.mark.slow
 def test_compact_kernel_matches_v6():
     """v7 compact-lane kernel (in-kernel candidate compaction + SMEM
     interval derivation, ops/pallas_compact.py) vs the v6 fused kernel on
