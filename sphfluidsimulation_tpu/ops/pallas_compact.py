@@ -237,9 +237,9 @@ def padded_start(frame: SortedFrame, s_slice: int, s_cells: int,
 def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
                     w_rows: int, s_slice: int, ck: int, crows: int,
                     ctpg: int, s_cells: int, n_wf: int,
-                    win_ref, win_nxt_ref, sb_ref, sb_nxt_ref, spans_ref,
+                    win_ref, win_nxt_ref, sb_ref, spans_ref,
                     rows_ref, scal_ref, fields_ref, start_ref,
-                    out_ref, cert_ref, scratch, sems, slc, slc_sems):
+                    out_ref, cert_ref, scratch, sems, slc, slc_sem):
     """One group: window DMA (as v6) + start-slice DMA, then per row-tile:
     scalar line bounds -> funnel-compact the nine segments into dense
     chunks -> pair math on the dense lanes -> (fused) integrate tail."""
@@ -254,27 +254,32 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
             scratch.at[slot_idx, :, f],
             sems.at[slot_idx, f]) for f in range(n_wf)]
 
-    def _slice_copy(slot_idx, sref):
+    # The start-table slice is single-buffered and copied synchronously at
+    # group start: a DMA whose destination is a sub-view of a 2-D SMEM
+    # scratch (slc.at[slot] on a (2, s_slice) buffer) crashes the Mosaic
+    # compiler on this libtpu (bisected 2026-08-17: subview_scalar_sem
+    # FAILs, single_buffer_sync OK). The copy is ~16 KB once per group and
+    # overlaps the window-DMA wait below, so the lost prefetch is noise.
+    def _slice_copy(sref):
         off = pl.multiple_of(sref[0, 0, 0], 1024)
         return pltpu.make_async_copy(
-            start_ref.at[pl.ds(off, s_slice)],
-            slc.at[slot_idx], slc_sems.at[slot_idx])
+            start_ref.at[pl.ds(off, s_slice)], slc, slc_sem)
 
     @pl.when(g == 0)
     def _():
         for c in _win_copies(0, win_ref):
             c.start()
-        _slice_copy(0, sb_ref).start()
 
     @pl.when(g + 1 < pl.num_programs(0))
     def _():
         for c in _win_copies(1 - slot, win_nxt_ref):
             c.start()
-        _slice_copy(1 - slot, sb_nxt_ref).start()
 
+    sc = _slice_copy(sb_ref)
+    sc.start()
     for c in _win_copies(slot, win_ref):
         c.wait()
-    _slice_copy(slot, sb_ref).wait()
+    sc.wait()
 
     h = scal_ref[0, 0]
     gas_k = scal_ref[0, 1]
@@ -327,8 +332,8 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
             qbs = jnp.clip(qbt - cbase, 0, s_slice - 1)
             # slice-window under-coverage (sparse group span > slice)
             out_slice = ((qas + cbase != qat) | (qbs + cbase != qbt))
-            a = slc[slot, qas]
-            b = slc[slot, qbs]
+            a = slc[qas]
+            b = slc[qbs]
             a = jnp.maximum(a, prev_b)          # dedup overlapping lines
             b = jnp.maximum(b, a)
             prev_b = b
@@ -575,8 +580,6 @@ def _call_compact(force: bool, fused: bool, use_ext: bool, r: int, n: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda g: (g + 1, 0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((ctpg, 2), lambda g: (g, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((ctpg, crows, N_FIELDS),
@@ -600,11 +603,11 @@ def _call_compact(force: bool, fused: bool, use_ext: bool, r: int, n: int,
         scratch_shapes=[
             pltpu.VMEM((2, w_rows, n_wf, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, n_wf)),
-            pltpu.SMEM((2, s_slice), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((s_slice,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
-    )(win, win, sbases, sbases, spans, rows_c, scal, fields, startp)
+    )(win, win, sbases, spans, rows_c, scal, fields, startp)
     return out, jnp.sum(cert)
 
 
