@@ -107,6 +107,14 @@ class PallasTuning(NamedTuple):
       to 8 mantissa bits; the i-side rows state stays full f32, so
       nothing accumulates across substeps. Candidate COVERAGE (and the
       exactness certificate) is unaffected.
+    * ``flat``: walk each row-tile's candidate chunks off a FLAT
+      per-tile worklist (built in XLA from the same merged intervals)
+      with ONE dynamic fori_loop, instead of the nested line->chunk
+      loops. Identical candidate set and float sums (chunk order is
+      preserved); ~2.7x faster on v5e — the nested dynamic loops stop
+      Mosaic from software-pipelining the long-latency pair math
+      (sqrt/rsqrt chains) across chunks, a flat loop lets consecutive
+      chunks overlap (scripts/probe_loopstruct_tpu.py, round 3).
     """
 
     rows_per_tile: int = 64
@@ -120,6 +128,7 @@ class PallasTuning(NamedTuple):
     compact_rows: int = 32
     compact_chunks: int = 0
     bf16: bool = False
+    flat: bool = True
 
     @classmethod
     def from_env(cls) -> "PallasTuning":
@@ -144,6 +153,8 @@ class PallasTuning(NamedTuple):
                                                d.compact_chunks)),
             bf16=_os.environ.get("SPH_PALLAS_BF16",
                                  "1" if d.bf16 else "0") == "1",
+            flat=_os.environ.get("SPH_PALLAS_FLAT",
+                                 "1" if d.flat else "0") == "1",
         )
 
 
@@ -437,6 +448,42 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
     return frame, tuple(sorted_extras)
 
 
+def _line_cap(n: int, r: int, tune: PallasTuning,
+              occ_hint: float | None = None, ex: int = 1) -> int:
+    """Per-line chunk cap (also sizes the flat worklist: see
+    :func:`_flat_worklist`)."""
+    occ_mean = occ_hint if occ_hint is not None else n / float(r * r * r)
+    est = tune.rows_per_tile + (2 * ex + 2) * occ_mean + LANES
+    return max(2, int(math.ceil(tune.line_fudge * est / LANES)))
+
+
+def _flat_worklist(tiles: jax.Array, n_lines: int, maxc: int
+                   ) -> tuple[jax.Array, jax.Array]:
+    """Merged per-tile intervals -> flat per-tile chunk worklist.
+
+    ``tiles`` is the [T, 2L] interleaved (k0, k1) interval table with live
+    intervals compacted first (:func:`_line_intervals`); the result is
+    ([T, maxc] i32 chunk indices in walk order, [T, 1] counts). With
+    ``maxc = n_lines * line_cap`` no entry is ever dropped (each interval
+    is already capped at line_cap chunks), so the flat walk covers exactly
+    the same candidate chunks in the same order as the nested walk — the
+    float sums are bit-identical, only the Mosaic loop structure changes.
+    """
+    T = tiles.shape[0]
+    k01 = tiles.reshape(T, n_lines, 2)
+    k0 = k01[..., 0]
+    lens = k01[..., 1] - k01[..., 0]
+    cum = jnp.cumsum(lens, axis=1)                      # [T, L]
+    cum_excl = cum - lens
+    j = jnp.arange(maxc, dtype=jnp.int32)[None, :, None]
+    sel = (j >= cum_excl[:, None, :]) & (j < cum[:, None, :])
+    ent = jnp.sum(
+        jnp.where(sel, k0[:, None, :] + (j - cum_excl[:, None, :]), 0),
+        axis=2).astype(jnp.int32)
+    total = jnp.minimum(cum[:, -1:], maxc).astype(jnp.int32)
+    return ent, total
+
+
 def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
                     span: int, ex: int, w_rows: int, n: int, r: int,
                     tune: PallasTuning, cid_s=None, s_cells: int | None = None,
@@ -482,9 +529,7 @@ def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
     # per-line chunk cap: bounds worst-case compute when exploding
     # scenes pile thousands of particles into wall cells (the analogue
     # of the reference's 32-slot walk bound, Bucket.compute:30-35)
-    occ_mean = occ_hint if occ_hint is not None else n / float(r * r * r)
-    est = tune.rows_per_tile + (2 * ex + 2) * occ_mean + LANES
-    line_cap = max(2, int(math.ceil(tune.line_fudge * est / LANES)))
+    line_cap = _line_cap(n, r, tune, occ_hint, ex)
     # truncation certificate: any live interval cut by the static window,
     # the line cap, or the window base marks the frame as not-exact
     clipped = jnp.sum(
@@ -675,7 +720,7 @@ def _decode_cell(cid, r: int):
 
 def _sph_kernel(n_lines: int, force: bool, r: int,
                 use_ext: bool, w_rows: int, tune: PallasTuning,
-                fused: bool,
+                fused: bool, maxc: int | None,
                 win_ref, win_nxt_ref, tiles_ref,
                 counts_ref, rows_ref, scal_ref, fields_ref, out_ref,
                 scratch, sems):
@@ -845,29 +890,55 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 acc[11] = acc[11] + ac * dzv
             return acc
 
-        def line_body(i, acc):
-            # compacted per-row-tile merged intervals: disjoint [k0, k1)
-            # chunk ranges in the group window, live entries first
-            k0 = tiles_ref[rt, 2 * i]
-            k1 = tiles_ref[rt, 2 * i + 1]
+        if maxc is not None:
+            # flat worklist: ONE dynamic loop over the tile's chunk
+            # entries. The nested line->chunk loops below compute the
+            # identical walk, but their inner dynamic trip counts stop
+            # Mosaic from software-pipelining the long-latency pair math
+            # (sqrt/rsqrt) across chunks — flattening measured 2.7x
+            # faster at identical work (scripts/probe_loopstruct_tpu.py)
+            fcnt = counts_ref[rt, 0]
 
-            def chunk_body(it, acc):
-                # UNROLL chunks per iteration off ONE dynamic base address:
-                # the ~0.4 us Mosaic scalar overhead per iteration (dynamic
-                # VMEM indexing + loop bookkeeping) is amortized over
-                # UNROLL pair blocks; tail chunks past k1 are lane-gated out
-                k = k0 + it * tune.unroll
+            def flat_body(it, acc):
+                k = it * tune.unroll
                 for u in range(tune.unroll):
-                    ku = jnp.minimum(k + u, w_rows - 1)
-                    lg = ((k + u) < k1).astype(jnp.float32)
+                    j = jnp.minimum(k + u, maxc - 1)
+                    ku = jnp.clip(tiles_ref[rt, j], 0, w_rows - 1)
+                    lg = ((k + u) < fcnt).astype(jnp.float32)
                     acc = pair_block(scratch[slot, ku], lg, acc)
                 return acc
 
-            n_it = jax.lax.div(k1 - k0 + (tune.unroll - 1), tune.unroll)
-            return jax.lax.fori_loop(0, n_it, chunk_body, acc, unroll=False)
+            n_it = jax.lax.div(fcnt + (tune.unroll - 1),
+                               jnp.int32(tune.unroll))
+            acc = jax.lax.fori_loop(0, n_it, flat_body, acc,
+                                    unroll=False)
+        else:
+            def line_body(i, acc):
+                # compacted per-row-tile merged intervals: disjoint
+                # [k0, k1) chunk ranges in the group window, live first
+                k0 = tiles_ref[rt, 2 * i]
+                k1 = tiles_ref[rt, 2 * i + 1]
 
-        acc = jax.lax.fori_loop(0, counts_ref[rt, 0], line_body, acc,
-                                unroll=False)
+                def chunk_body(it, acc):
+                    # UNROLL chunks per iteration off ONE dynamic base
+                    # address: the ~0.4 us Mosaic scalar overhead per
+                    # iteration (dynamic VMEM indexing + loop
+                    # bookkeeping) is amortized over UNROLL pair blocks;
+                    # tail chunks past k1 are lane-gated out
+                    k = k0 + it * tune.unroll
+                    for u in range(tune.unroll):
+                        ku = jnp.minimum(k + u, w_rows - 1)
+                        lg = ((k + u) < k1).astype(jnp.float32)
+                        acc = pair_block(scratch[slot, ku], lg, acc)
+                    return acc
+
+                n_it = jax.lax.div(k1 - k0 + (tune.unroll - 1),
+                                   tune.unroll)
+                return jax.lax.fori_loop(0, n_it, chunk_body, acc,
+                                         unroll=False)
+
+            acc = jax.lax.fori_loop(0, counts_ref[rt, 0], line_body, acc,
+                                    unroll=False)
 
         sums = [jnp.sum(a, axis=1, keepdims=True) for a in acc]
         if not fused:
@@ -958,12 +1029,21 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
 
 def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
                  tune: PallasTuning, win, tiles, counts, rows, scal,
-                 fields, *, use_ext: bool = False, fused: bool = False):
+                 fields, *, use_ext: bool = False, fused: bool = False,
+                 n: int | None = None, occ_hint: float | None = None):
     n_groups = win.shape[0] - 1
     out_lanes = N_FIELDS if fused else OUT_LANES
     n_wf = n_window_fields(force, tune)
+    maxc = None
+    if tune.flat:
+        # flat worklist mode: tiles/counts become the per-tile chunk
+        # entry list (identical walk order, one-level kernel loop)
+        assert n is not None, "flat mode needs the particle count"
+        maxc = n_lines * _line_cap(n, r, tune, occ_hint)
+        tiles, counts = _flat_worklist(tiles, n_lines, maxc)
+    tiles_cols = tiles.shape[1]
     kernel = functools.partial(_sph_kernel, n_lines, force, r,
-                               use_ext, w_rows, tune, fused)
+                               use_ext, w_rows, tune, fused, maxc)
     return pl.pallas_call(
         kernel,
         grid=(n_groups,),
@@ -973,7 +1053,7 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
             # next group's window base (for the cross-group DMA prefetch)
             pl.BlockSpec((1, 1, 1), lambda g: (g + 1, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tune.tiles_per_group, 2 * n_lines),
+            pl.BlockSpec((tune.tiles_per_group, tiles_cols),
                          lambda g: (g, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tune.tiles_per_group, 1), lambda g: (g, 0),
                          memory_space=pltpu.SMEM),
@@ -1026,7 +1106,7 @@ def density_pallas(frame: SortedFrame, pos_s: jax.Array, phys: PhysParams,
     out = _call_kernel(N_LINES_DENS, False, r,
                        window_rows(n, r, 1, 1, tune, occ_hint), tune,
                        frame.win_d, frame.tiles_d, frame.counts_d, rows,
-                       _scal(phys), fields)
+                       _scal(phys), fields, n=n, occ_hint=occ_hint)
     w_sum = out[:, :, 0].reshape(-1)[:n]
     return phys.mass * w_sum
 
@@ -1082,7 +1162,7 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     out = _call_kernel(N_LINES_DENS, True, r,
                        window_rows(n, r, 2, E_X, tune), tune,
                        frame.win_f, tiles_fr, counts_fr, rows,
-                       _scal(phys), fields, use_ext=use_ext)
+                       _scal(phys), fields, use_ext=use_ext, n=n)
     flat = out.reshape(-1, OUT_LANES)[:n]
     f_press = flat[:, 0:3]
     f_vis = flat[:, 3:6]
@@ -1192,7 +1272,8 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
     new_rows = _call_kernel(
         N_LINES_DENS, True, r, window_rows(n, r, 2, E_X, tune, occ_hint),
         tune, frame.win_f, tiles_fr, counts_fr, rows,
-        _scal(phys, xsph, alpha_visc), fields, use_ext=use_ext, fused=True)
+        _scal(phys, xsph, alpha_visc), fields, use_ext=use_ext, fused=True,
+        n=n, occ_hint=occ_hint)
     npad = padded_n(n, tune)
     new_rows = new_rows.reshape(npad // tune.rows_per_tile,
                                 tune.rows_per_tile, N_FIELDS)

@@ -307,3 +307,30 @@ def test_compact_kernel_matches_v6():
     assert _ovf(m6) == _ovf(m7)
     np.testing.assert_array_equal(np.asarray(st_6.nan_count),
                                   np.asarray(st_7.nan_count))
+
+
+@pytest.mark.slow
+def test_flat_worklist_bit_identical_to_nested():
+    """The v8 flat chunk worklist (tune.flat, default) walks exactly the
+    nested line->chunk intervals in the same order, so trajectories,
+    certificates and overflow counts are BIT-identical — including on a
+    violent config where line caps and drift certificates fire."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    violent = SimConfig(particle_number=4096, bucket_resolution=13)
+    for cfg in (CALM, violent):
+        st = initial_state(cfg)
+        phys = PhysParams.from_config(cfg)
+        outs = {}
+        for flat in (False, True):
+            tune = PallasTuning(fused=True, flat=flat)
+            step = jax.jit(make_param_step(cfg, neighbor="pallas",
+                                           pallas_tune=tune))
+            s, m = step(st, phys)
+            outs[flat] = (np.asarray(s.pos), np.asarray(s.vel),
+                          _cert(m), _ovf(m))
+        np.testing.assert_array_equal(outs[True][0], outs[False][0])
+        np.testing.assert_array_equal(outs[True][1], outs[False][1])
+        assert outs[True][2] == outs[False][2]
+        assert outs[True][3] == outs[False][3]
