@@ -184,15 +184,20 @@ def pack_slots(table: jax.Array, capacity: int, n: int, pos: jax.Array,
                vel: jax.Array | None, rho: jax.Array | None) -> PackedSlots:
     """Scatter per-particle values into the 128-lane packed layout."""
     ids = table.reshape(-1, capacity)
-    occ = (ids < n).astype(jnp.float32)
+    occ_b = ids < n
+    occ = occ_b.astype(jnp.float32)
     j = jnp.minimum(ids, n - 1)
-    px, py, pz = (pos[..., k][j] * occ for k in range(3))
+    # select, don't multiply: on exploding scenes real particles can hold
+    # inf pos/vel, and 0 * inf = NaN would poison EMPTY slots (the
+    # reference walks only occupied slots, Bucket.compute:30-35)
+    px, py, pz = (jnp.where(occ_b, pos[..., k][j], 0.0) for k in range(3))
     posocc = jnp.concatenate([px, py, pz, occ], axis=-1)
     if vel is None:
         velrho = jnp.zeros_like(posocc)
     else:
-        vx, vy, vz = (vel[..., k][j] * occ for k in range(3))
-        rr = rho[j] * occ
+        vx, vy, vz = (jnp.where(occ_b, vel[..., k][j], 0.0)
+                      for k in range(3))
+        rr = jnp.where(occ_b, rho[j], 0.0)
         velrho = jnp.concatenate([vx, vy, vz, rr], axis=-1)
     return PackedSlots(posocc=posocc, velrho=velrho)
 
@@ -201,11 +206,13 @@ def repack_fresh(slots: PackedSlots, table: jax.Array, capacity: int, n: int,
                  pos: jax.Array, vel: jax.Array) -> PackedSlots:
     """Refresh pos/vel lanes for a new substep; keep stale rho lanes."""
     ids = table.reshape(-1, capacity)
-    occ = (ids < n).astype(jnp.float32)
+    occ_b = ids < n
+    occ = occ_b.astype(jnp.float32)
     j = jnp.minimum(ids, n - 1)
-    px, py, pz = (pos[..., k][j] * occ for k in range(3))
+    # select, not multiply (0 * inf = NaN — see pack_slots)
+    px, py, pz = (jnp.where(occ_b, pos[..., k][j], 0.0) for k in range(3))
     posocc = jnp.concatenate([px, py, pz, occ], axis=-1)
-    vx, vy, vz = (vel[..., k][j] * occ for k in range(3))
+    vx, vy, vz = (jnp.where(occ_b, vel[..., k][j], 0.0) for k in range(3))
     velrho = jnp.concatenate(
         [vx, vy, vz, slots.velrho[:, 3 * capacity:]], axis=-1)
     return PackedSlots(posocc=posocc, velrho=velrho)
@@ -229,8 +236,8 @@ def density_slotted_rows(pos_rows: jax.Array, cell_rows: jax.Array,
         dz = pos_rows[:, 2:3] - cz
         r2 = dx * dx + dy * dy + dz * dz
         w = sph_math.w_poly6(r2, h2, h9)
-        gate = occ * valid[:, None].astype(jnp.float32)
-        return rho + p.mass * jnp.sum(w * gate, axis=-1), None
+        gate = (occ > 0.0) & valid[:, None]
+        return rho + p.mass * jnp.sum(jnp.where(gate, w, 0.0), axis=-1), None
 
     rho, _ = jax.lax.scan(body, jnp.zeros(pos_rows.shape[0], jnp.float32),
                           offs)
@@ -259,8 +266,11 @@ def fluid_forces_slotted_rows(pos_rows: jax.Array, vel_rows: jax.Array,
         cx, cy, cz, occ = (prow[:, k * c:(k + 1) * c] for k in range(4))
         vx, vy, vz, rho_j = (vrow[:, k * c:(k + 1) * c] for k in range(4))
 
-        gate = occ * valid[:, None].astype(jnp.float32)
-        gate = gate * (rho_j > EPSILON).astype(jnp.float32)  # VelPos:91
+        # select-gating, not multiplicative: 0 * inf = NaN would inject
+        # NaN into the sums from empty slots / out-of-bounds cells the
+        # reference never evaluates (Bucket.compute:30-35, VelPos:73)
+        gate = ((occ > 0.0) & valid[:, None]
+                & (rho_j > EPSILON))                         # VelPos:91
         safe_rho = jnp.where(rho_j > EPSILON, rho_j, 1.0)
 
         dx = pos_rows[:, 0:1] - cx
@@ -271,15 +281,18 @@ def fluid_forces_slotted_rows(pos_rows: jax.Array, vel_rows: jax.Array,
         gwv = sph_math.grad_w_vis_r(abs_r, p.h, h6)
 
         press_j = sph_math.eos_pressure(rho_j, p.gas_constant, p.rest_density)
-        pc = gate * (press_rows[:, None] + press_j) / (2.0 * safe_rho) * gwp
-        fpx = fpx + jnp.sum(pc * dx, axis=-1)
-        fpy = fpy + jnp.sum(pc * dy, axis=-1)
-        fpz = fpz + jnp.sum(pc * dz, axis=-1)
+        pc = (press_rows[:, None] + press_j) / (2.0 * safe_rho) * gwp
+        fpx = fpx + jnp.sum(jnp.where(gate, pc * dx, 0.0), axis=-1)
+        fpy = fpy + jnp.sum(jnp.where(gate, pc * dy, 0.0), axis=-1)
+        fpz = fpz + jnp.sum(jnp.where(gate, pc * dz, 0.0), axis=-1)
 
-        vc = gate * gwv / safe_rho
-        fvx = fvx + jnp.sum(vc * (vx - vel_rows[:, 0:1] * occ), axis=-1)
-        fvy = fvy + jnp.sum(vc * (vy - vel_rows[:, 1:2] * occ), axis=-1)
-        fvz = fvz + jnp.sum(vc * (vz - vel_rows[:, 2:3] * occ), axis=-1)
+        vc = gwv / safe_rho
+        fvx = fvx + jnp.sum(
+            jnp.where(gate, vc * (vx - vel_rows[:, 0:1]), 0.0), axis=-1)
+        fvy = fvy + jnp.sum(
+            jnp.where(gate, vc * (vy - vel_rows[:, 1:2]), 0.0), axis=-1)
+        fvz = fvz + jnp.sum(
+            jnp.where(gate, vc * (vz - vel_rows[:, 2:3]), 0.0), axis=-1)
         return (fpx, fpy, fpz, fvx, fvy, fvz), None
 
     zeros = jnp.zeros(pos_rows.shape[0], jnp.float32)

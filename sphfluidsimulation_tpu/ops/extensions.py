@@ -51,18 +51,23 @@ def xsph_slotted(pos: jax.Array, vel: jax.Array, rho: jax.Array,
         vrow = jnp.take(slots.velrho, ncid, axis=0)
         cx, cy, cz, occ = (prow[:, k * c:(k + 1) * c] for k in range(4))
         vx, vy, vz, rho_j = (vrow[:, k * c:(k + 1) * c] for k in range(4))
-        gate = occ * valid[:, None].astype(jnp.float32)
+        # select-gating, not multiplicative (0 * inf = NaN would leak
+        # NaN from empty slots / out-of-bounds cells; see cellops)
+        gate = (occ > 0.0) & valid[:, None]
         dx = pos[:, 0:1] - cx
         dy = pos[:, 1:2] - cy
         dz = pos[:, 2:3] - cz
         w = sph_math.w_poly6(dx * dx + dy * dy + dz * dz, h2, h9)
         denom = rho[:, None] + rho_j
-        coef = gate * jnp.where(denom > EPSILON,
-                                2.0 * p.mass / jnp.maximum(denom, EPSILON),
-                                0.0) * w
-        ax = ax + jnp.sum(coef * (vx - vel[:, 0:1]), axis=-1)
-        ay = ay + jnp.sum(coef * (vy - vel[:, 1:2]), axis=-1)
-        az = az + jnp.sum(coef * (vz - vel[:, 2:3]), axis=-1)
+        coef = jnp.where(denom > EPSILON,
+                         2.0 * p.mass / jnp.maximum(denom, EPSILON),
+                         0.0) * w
+        ax = ax + jnp.sum(jnp.where(gate, coef * (vx - vel[:, 0:1]), 0.0),
+                          axis=-1)
+        ay = ay + jnp.sum(jnp.where(gate, coef * (vy - vel[:, 1:2]), 0.0),
+                          axis=-1)
+        az = az + jnp.sum(jnp.where(gate, coef * (vz - vel[:, 2:3]), 0.0),
+                          axis=-1)
         return (ax, ay, az), None
 
     zeros = jnp.zeros(pos.shape[0], jnp.float32)
@@ -88,7 +93,7 @@ def artificial_viscosity_slotted(pos: jax.Array, vel: jax.Array,
         vrow = jnp.take(slots.velrho, ncid, axis=0)
         cx, cy, cz, occ = (prow[:, k * c:(k + 1) * c] for k in range(4))
         vx, vy, vz, rho_j = (vrow[:, k * c:(k + 1) * c] for k in range(4))
-        gate = occ * valid[:, None].astype(jnp.float32)
+        gate = (occ > 0.0) & valid[:, None]
         dx = pos[:, 0:1] - cx
         dy = pos[:, 1:2] - cy
         dz = pos[:, 2:3] - cz
@@ -104,10 +109,10 @@ def artificial_viscosity_slotted(pos: jax.Array, vel: jax.Array,
                        / jnp.maximum(rho_bar, EPSILON), 0.0)
         abs_r = jnp.sqrt(r2)
         gwp = sph_math.grad_w_press_over_r(abs_r, p.h, h6)
-        coef = p.mass * p.mass * pi * gwp * gate
-        fx = fx + jnp.sum(coef * dx, axis=-1)
-        fy = fy + jnp.sum(coef * dy, axis=-1)
-        fz = fz + jnp.sum(coef * dz, axis=-1)
+        coef = p.mass * p.mass * pi * gwp
+        fx = fx + jnp.sum(jnp.where(gate, coef * dx, 0.0), axis=-1)
+        fy = fy + jnp.sum(jnp.where(gate, coef * dy, 0.0), axis=-1)
+        fz = fz + jnp.sum(jnp.where(gate, coef * dz, 0.0), axis=-1)
         return (fx, fy, fz), None
 
     zeros = jnp.zeros(pos.shape[0], jnp.float32)

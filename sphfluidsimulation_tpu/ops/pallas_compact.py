@@ -397,7 +397,9 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
                       & (jnp.abs(cxl - fx) <= 1.0)
                       & (jnp.abs(cyl - fy) <= 1.0)
                       & (jnp.abs(czl - fz) <= 1.0))
-            gate = member.astype(jnp.float32) * lane_gate
+            # select-gating, not multiplicative: 0*inf = NaN would inject
+            # NaN traps from non-candidate lanes (see pallas_sph pair_block)
+            gate = member & lane_gate
 
             dxv = rx - blk[0:1, :]
             dyv = ry - blk[1:2, :]
@@ -408,7 +410,7 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
                 diff = h2 - r2
                 w = jnp.where(diff > 0, c_poly6 * diff * diff * diff / h9,
                               0.0)
-                acc[0] = acc[0] + w * gate
+                acc[0] = acc[0] + jnp.where(gate, w, 0.0)
                 return acc
 
             if bf16:
@@ -428,23 +430,23 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
                 valid, (c_grad / h6) * diff_r * diff_r * diff_r * rs, 0.0)
             gwv = jnp.where(abs_r < h, (c_grad / h6) * diff_r, 0.0)
             press_j = gas_k * (rho_j - rho0)
-            pc = gate * (press_i + press_j) * 0.5 * inv_rho * gwp
-            acc[0] = acc[0] + pc * dxv
-            acc[1] = acc[1] + pc * dyv
-            acc[2] = acc[2] + pc * dzv
-            vc = gate * gwv * inv_rho
-            acc[3] = acc[3] + vc * (vjx - rvx)
-            acc[4] = acc[4] + vc * (vjy - rvy)
-            acc[5] = acc[5] + vc * (vjz - rvz)
+            pc = (press_i + press_j) * 0.5 * inv_rho * gwp
+            acc[0] = acc[0] + jnp.where(gate, pc * dxv, 0.0)
+            acc[1] = acc[1] + jnp.where(gate, pc * dyv, 0.0)
+            acc[2] = acc[2] + jnp.where(gate, pc * dzv, 0.0)
+            vc = gwv * inv_rho
+            acc[3] = acc[3] + jnp.where(gate, vc * (vjx - rvx), 0.0)
+            acc[4] = acc[4] + jnp.where(gate, vc * (vjy - rvy), 0.0)
+            acc[5] = acc[5] + jnp.where(gate, vc * (vjz - rvz), 0.0)
             if use_ext:
                 d2 = h2 - r2
                 w6 = jnp.where(d2 > 0, c_poly6 * d2 * d2 * d2 / h9, 0.0)
                 denom = rrho + rho_j
-                xc = gate * jnp.where(denom > EPSILON, 2.0, 0.0) \
+                xc = jnp.where(denom > EPSILON, 2.0, 0.0) \
                     / jnp.where(denom > EPSILON, denom, 1.0) * w6
-                acc[6] = acc[6] + xc * (vjx - rvx)
-                acc[7] = acc[7] + xc * (vjy - rvy)
-                acc[8] = acc[8] + xc * (vjz - rvz)
+                acc[6] = acc[6] + jnp.where(gate, xc * (vjx - rvx), 0.0)
+                acc[7] = acc[7] + jnp.where(gate, xc * (vjy - rvy), 0.0)
+                acc[8] = acc[8] + jnp.where(gate, xc * (vjz - rvz), 0.0)
                 dvx2 = rvx - vjx
                 dvy2 = rvy - vjy
                 dvz2 = rvz - vjz
@@ -454,16 +456,16 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
                 pi_ok = (vr < 0) & (rho_bar > EPSILON)
                 pi = jnp.where(pi_ok, -cs * mu, 0.0) \
                     / jnp.where(pi_ok, rho_bar, 1.0)
-                ac = gate * pi * gwp
-                acc[9] = acc[9] + ac * dxv
-                acc[10] = acc[10] + ac * dyv
-                acc[11] = acc[11] + ac * dzv
+                ac = pi * gwp
+                acc[9] = acc[9] + jnp.where(gate, ac * dxv, 0.0)
+                acc[10] = acc[10] + jnp.where(gate, ac * dyv, 0.0)
+                acc[11] = acc[11] + jnp.where(gate, ac * dzv, 0.0)
             return acc
 
         for d in range(ck):
             def _eval(acc, d=d):
                 lg = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-                      < c_len - d * LANES).astype(jnp.float32)
+                      < c_len - d * LANES)
                 return pair_block(cbuf[d], lg, acc)
 
             acc = jax.lax.cond(c_len > d * LANES, _eval,

@@ -803,8 +803,16 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
 
         def pair_block(blk, lane_gate, acc):
             """One (8, 128) candidate chunk vs this row-tile; ``lane_gate``
-            additionally masks chunks read past an interval's end (the
-            multi-chunk unroll's tail)."""
+            (bool) additionally masks chunks read past an interval's end
+            (the multi-chunk unroll's tail).
+
+            Gating is a SELECT (jnp.where), not a multiply: on exploding
+            scenes candidate lanes can hold inf velocities/densities, and
+            a multiplicative 0-gate turns their inf terms into NaN (0*inf)
+            — injecting NaN traps from NON-candidates the reference never
+            evaluates (VelPos.compute:77-82 walks only bucketed
+            neighbors). A select discards the poisoned lanes exactly; NaN
+            from REAL candidates still propagates faithfully."""
             cxl, cyl, czl = _decode_cell(blk[3:4, :], r)
             occ = blk[3:4, :] >= 0.0
             # pure fresh 27-window membership: each candidate appears
@@ -814,7 +822,7 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                       & (jnp.abs(cxl - fx) <= 1.0)
                       & (jnp.abs(cyl - fy) <= 1.0)
                       & (jnp.abs(czl - fz) <= 1.0))
-            gate = member.astype(jnp.float32) * lane_gate
+            gate = member & lane_gate
 
             dxv = rx - blk[0:1, :]
             dyv = ry - blk[1:2, :]
@@ -825,7 +833,7 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 diff = h2 - r2
                 w = jnp.where(diff > 0, c_poly6 * diff * diff * diff / h9,
                               0.0)
-                acc[0] = acc[0] + w * gate
+                acc[0] = acc[0] + jnp.where(gate, w, 0.0)
                 return acc
 
             if tune.bf16:
@@ -853,14 +861,14 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             gwv = jnp.where(abs_r < h, (c_grad / h6) * diff_r, 0.0)
 
             press_j = gas_k * (rho_j - rho0)
-            pc = gate * (press_i + press_j) * 0.5 * inv_rho * gwp
-            acc[0] = acc[0] + pc * dxv
-            acc[1] = acc[1] + pc * dyv
-            acc[2] = acc[2] + pc * dzv
-            vc = gate * gwv * inv_rho
-            acc[3] = acc[3] + vc * (vjx - rvx)
-            acc[4] = acc[4] + vc * (vjy - rvy)
-            acc[5] = acc[5] + vc * (vjz - rvz)
+            pc = (press_i + press_j) * 0.5 * inv_rho * gwp
+            acc[0] = acc[0] + jnp.where(gate, pc * dxv, 0.0)
+            acc[1] = acc[1] + jnp.where(gate, pc * dyv, 0.0)
+            acc[2] = acc[2] + jnp.where(gate, pc * dzv, 0.0)
+            vc = gwv * inv_rho
+            acc[3] = acc[3] + jnp.where(gate, vc * (vjx - rvx), 0.0)
+            acc[4] = acc[4] + jnp.where(gate, vc * (vjy - rvy), 0.0)
+            acc[5] = acc[5] + jnp.where(gate, vc * (vjz - rvz), 0.0)
 
             if use_ext:
                 # XSPH raw sum: 2/(rho_i+rho_j) W_poly6 (v_j - v_i)
@@ -868,11 +876,11 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 d2 = h2 - r2
                 w6 = jnp.where(d2 > 0, c_poly6 * d2 * d2 * d2 / h9, 0.0)
                 denom = rrho + rho_j
-                xc = gate * jnp.where(denom > EPSILON, 2.0, 0.0) \
+                xc = jnp.where(denom > EPSILON, 2.0, 0.0) \
                     / jnp.where(denom > EPSILON, denom, 1.0) * w6
-                acc[6] = acc[6] + xc * (vjx - rvx)
-                acc[7] = acc[7] + xc * (vjy - rvy)
-                acc[8] = acc[8] + xc * (vjz - rvz)
+                acc[6] = acc[6] + jnp.where(gate, xc * (vjx - rvx), 0.0)
+                acc[7] = acc[7] + jnp.where(gate, xc * (vjy - rvy), 0.0)
+                acc[8] = acc[8] + jnp.where(gate, xc * (vjz - rvz), 0.0)
                 # Monaghan PI raw sum: PI gwp d (alpha, m^2 folded
                 # outside; cs = sqrt(gas_k))
                 dvx2 = rvx - vjx
@@ -884,10 +892,10 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 pi_ok = (vr < 0) & (rho_bar > EPSILON)
                 pi = jnp.where(pi_ok, -cs * mu, 0.0) \
                     / jnp.where(pi_ok, rho_bar, 1.0)
-                ac = gate * pi * gwp
-                acc[9] = acc[9] + ac * dxv
-                acc[10] = acc[10] + ac * dyv
-                acc[11] = acc[11] + ac * dzv
+                ac = pi * gwp
+                acc[9] = acc[9] + jnp.where(gate, ac * dxv, 0.0)
+                acc[10] = acc[10] + jnp.where(gate, ac * dyv, 0.0)
+                acc[11] = acc[11] + jnp.where(gate, ac * dzv, 0.0)
             return acc
 
         if maxc is not None:
@@ -904,7 +912,7 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 for u in range(tune.unroll):
                     j = jnp.minimum(k + u, maxc - 1)
                     ku = jnp.clip(tiles_ref[rt, j], 0, w_rows - 1)
-                    lg = ((k + u) < fcnt).astype(jnp.float32)
+                    lg = (k + u) < fcnt
                     acc = pair_block(scratch[slot, ku], lg, acc)
                 return acc
 
@@ -928,7 +936,7 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                     k = k0 + it * tune.unroll
                     for u in range(tune.unroll):
                         ku = jnp.minimum(k + u, w_rows - 1)
-                        lg = ((k + u) < k1).astype(jnp.float32)
+                        lg = (k + u) < k1
                         acc = pair_block(scratch[slot, ku], lg, acc)
                     return acc
 

@@ -326,7 +326,10 @@ def _cell_coords(r: int, s: int, zbase=0):
 
 def _gate(r: int, s: int, oz, oy: int, ox: int, delta, zbase=0):
     """Bounds check (Density.compute:46) and — when a nonzero δ exists —
-    fresh-window membership |off − δ| ≤ 1 (VelPos.compute:57-58). f32."""
+    fresh-window membership |off − δ| ≤ 1 (VelPos.compute:57-58). Bool:
+    callers SELECT on it (jnp.where) rather than multiply — 0 * inf = NaN
+    would leak NaN into the sums from out-of-bounds windows the reference
+    never evaluates."""
     cx, cy, cz = _cell_coords(r, s, zbase)
     b = ((cx + ox >= 0) & (cx + ox < r) & (cy + oy >= 0) & (cy + oy < r)
          & (cz + oz >= 0) & (cz + oz < r))[None, :]
@@ -334,7 +337,7 @@ def _gate(r: int, s: int, oz, oy: int, ox: int, delta, zbase=0):
         b = b & ((jnp.abs(ox - delta[0]) <= 1)
                  & (jnp.abs(oy - delta[1]) <= 1)
                  & (jnp.abs(oz - delta[2]) <= 1))
-    return b.astype(jnp.float32)
+    return b
 
 
 def _kj_scanned(body, kj: int):
@@ -436,8 +439,9 @@ def make_density_pass(r: int, s: int, w: int, zbase=0):
             dz = ipz - jsl[2][None]
             diff = h2 - (dx * dx + dy * dy + dz * dz)
             wk = jnp.where(diff > 0, diff * diff * diff, 0.0)
-            return acc + (jnp.sum(wk * jsl[3][None], axis=1)
-                          * _gate(r, s, oz, oy, ox, delta, zbase))
+            g = _gate(r, s, oz, oy, ox, delta, zbase)
+            return acc + jnp.where(g, jnp.sum(wk * jsl[3][None], axis=1),
+                                   0.0)
 
         acc0 = jnp.zeros((ki, s), jnp.float32)
         # j arrays: pos(3), mult (rides JSites.a in the rho=None build)
@@ -515,11 +519,11 @@ def make_force_pass(r: int, s: int, w: int, *, xsph: float = 0.0,
             pb = gwp * jf["bp"]
             out = dict(acc)
             for ax, dd in zip("xyz", d3):
-                out["pa" + ax] = acc["pa" + ax] + jnp.sum(pa * dd, 1) * g
-                out["pb" + ax] = acc["pb" + ax] + jnp.sum(pb * dd, 1) * g
-                out["vb" + ax] = (acc["vb" + ax]
-                                  + jnp.sum(gwv * jf["cv" + ax], 1) * g)
-            out["vc"] = acc["vc"] + jnp.sum(gwv * jf["dv"], 1) * g
+                out["pa" + ax] = acc["pa" + ax] + jnp.where(g, jnp.sum(pa * dd, 1), 0.0)
+                out["pb" + ax] = acc["pb" + ax] + jnp.where(g, jnp.sum(pb * dd, 1), 0.0)
+                out["vb" + ax] = (acc["vb" + ax] + jnp.where(
+                    g, jnp.sum(gwv * jf["cv" + ax], 1), 0.0))
+            out["vc"] = acc["vc"] + jnp.where(g, jnp.sum(gwv * jf["dv"], 1), 0.0)
             if use_a:
                 # Monaghan Π for approaching pairs (extensions.py); sites
                 # carry a per-site velocity (key includes vel when avisc on)
@@ -532,8 +536,8 @@ def make_force_pass(r: int, s: int, w: int, *, xsph: float = 0.0,
                                   / jnp.maximum(rho_bar, EPSILON), 0.0)
                 avw = pi_av * gwp * jf["mult"]
                 for ax, dd in zip("xyz", d3):
-                    out["av" + ax] = (acc["av" + ax]
-                                      + jnp.sum(avw * dd, 1) * g)
+                    out["av" + ax] = (acc["av" + ax] + jnp.where(
+                        g, jnp.sum(avw * dd, 1), 0.0))
             if use_x:
                 diff2 = h2 - r2
                 wk = jnp.where(diff2 > 0, diff2 * diff2 * diff2, 0.0)
@@ -542,9 +546,9 @@ def make_force_pass(r: int, s: int, w: int, *, xsph: float = 0.0,
                                2.0 * p.mass / jnp.maximum(den, EPSILON),
                                0.0) * wk
                 for ax in "xyz":
-                    out["xv" + ax] = (acc["xv" + ax]
-                                      + jnp.sum(xc * jf["vs" + ax], 1) * g)
-                out["xm"] = acc["xm"] + jnp.sum(xc * jf["xmult"], 1) * g
+                    out["xv" + ax] = (acc["xv" + ax] + jnp.where(
+                        g, jnp.sum(xc * jf["vs" + ax], 1), 0.0))
+                out["xm"] = acc["xm"] + jnp.where(g, jnp.sum(xc * jf["xmult"], 1), 0.0)
             return out
 
         return _window_scan(jarrs, r, s, w, body, acc0)
