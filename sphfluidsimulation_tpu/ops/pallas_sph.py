@@ -436,7 +436,8 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
     else:
         tiles_d, counts_d, clip_d = _line_intervals(
             tc_lo, tc_hi, tile_is_pad, start, wbase_d, N_LINES_DENS, 3, 1,
-            w_d, n, r, tune, cid_s=cid_s, s_cells=s_cells, occ_hint=occ_hint)
+            w_d, n, r, tune, cid_s=cid_s, s_cells=s_cells, occ_hint=occ_hint,
+            flat=tune.flat)
         clip_d = clip_d + band_cert
 
     frame = SortedFrame(order=order, cid=cid_s, raw=raw_s, occ=occ,
@@ -487,8 +488,8 @@ def _flat_worklist(tiles: jax.Array, n_lines: int, maxc: int
 def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
                     span: int, ex: int, w_rows: int, n: int, r: int,
                     tune: PallasTuning, cid_s=None, s_cells: int | None = None,
-                    occ_hint: float | None = None):
-    """Merged disjoint per-row-tile chunk intervals for a line family.
+                    occ_hint: float | None = None, flat: bool = False):
+    """Disjoint per-row-tile chunk coverage for a line family.
 
     Each row-tile walks [k0, k1) chunk ranges (128-lane rows of the sorted
     array, relative to its group's window base ``wbase``); every candidate
@@ -496,6 +497,11 @@ def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
     the static window, the per-line cap, or the window base (under-
     coverage below the fetched range) are counted into the returned
     certificate — zero means exact coverage.
+
+    ``flat=False`` returns the merged [T, 2L] interval table + live
+    counts (the nested v6 walk); ``flat=True`` returns the expanded
+    [T, 9*line_cap] chunk worklist + chunk counts (the v8 walk) — the
+    identical chunk sequence, skipping the merge machinery.
     """
     k = jnp.arange(n_lines, dtype=jnp.int32)
     dy = k % span - span // 2
@@ -538,6 +544,22 @@ def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
     k1 = jnp.minimum(k1, k0 + line_cap)
     k0 = jnp.clip(k0, 0, w_rows)
     k1 = jnp.clip(k1, k0, w_rows)
+
+    if flat:
+        # monotone clip to disjoint intervals (k0 and k1 are nondecreasing
+        # along the line axis since off is increasing and start monotone):
+        # same chunk union, same walk order as the merge below, but no
+        # [T, L, L] one-hots and no per-tile sort — then expand straight
+        # to the flat per-tile worklist the v8 kernel walks
+        hi_cum = jax.lax.cummax(k1, axis=1)
+        hi_excl = jnp.concatenate(
+            [jnp.zeros_like(hi_cum[:, :1]), hi_cum[:, :-1]], axis=1)
+        k0d = jnp.maximum(k0, hi_excl)
+        k1d = jnp.maximum(k1, k0d)
+        maxc = n_lines * line_cap
+        tiles = jnp.stack([k0d, k1d], axis=-1).reshape(-1, 2 * n_lines)
+        flat_t, counts = _flat_worklist(tiles, n_lines, maxc)
+        return flat_t, counts, clipped
 
     # merge overlapping/adjacent intervals (k0 and k1 are nondecreasing
     # along the line axis since off is increasing and start monotone)
@@ -622,7 +644,8 @@ def fresh_force_intervals(frame: SortedFrame, pos_s: jax.Array, n: int,
     tiles, counts, clipped = _line_intervals(
         tc_lo, tc_hi, frame.tile_is_pad, frame.start, wbase,
         N_LINES_DENS, 3, 1, window_rows(n, r, 2, E_X, tune, occ_hint),
-        n, r, tune, cid_s=frame.cid, s_cells=s_cells, occ_hint=occ_hint)
+        n, r, tune, cid_s=frame.cid, s_cells=s_cells, occ_hint=occ_hint,
+        flat=tune.flat)
     return tiles, counts, clipped + drift_cert
 
 
@@ -861,10 +884,15 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             gwv = jnp.where(abs_r < h, (c_grad / h6) * diff_r, 0.0)
 
             press_j = gas_k * (rho_j - rho0)
-            pc = (press_i + press_j) * 0.5 * inv_rho * gwp
-            acc[0] = acc[0] + jnp.where(gate, pc * dxv, 0.0)
-            acc[1] = acc[1] + jnp.where(gate, pc * dyv, 0.0)
-            acc[2] = acc[2] + jnp.where(gate, pc * dzv, 0.0)
+            # positions are clamped by the reference every substep
+            # (VelPos.compute:154), so dxv/dyv/dzv are always finite: ONE
+            # select on the shared coefficient suffices (0 * finite = 0).
+            # Velocity diffs can be inf — those terms select whole.
+            pc = jnp.where(gate,
+                           (press_i + press_j) * 0.5 * inv_rho * gwp, 0.0)
+            acc[0] = acc[0] + pc * dxv
+            acc[1] = acc[1] + pc * dyv
+            acc[2] = acc[2] + pc * dzv
             vc = gwv * inv_rho
             acc[3] = acc[3] + jnp.where(gate, vc * (vjx - rvx), 0.0)
             acc[4] = acc[4] + jnp.where(gate, vc * (vjy - rvy), 0.0)
@@ -892,10 +920,10 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 pi_ok = (vr < 0) & (rho_bar > EPSILON)
                 pi = jnp.where(pi_ok, -cs * mu, 0.0) \
                     / jnp.where(pi_ok, rho_bar, 1.0)
-                ac = pi * gwp
-                acc[9] = acc[9] + jnp.where(gate, ac * dxv, 0.0)
-                acc[10] = acc[10] + jnp.where(gate, ac * dyv, 0.0)
-                acc[11] = acc[11] + jnp.where(gate, ac * dzv, 0.0)
+                ac = jnp.where(gate, pi * gwp, 0.0)   # d finite: 1 select
+                acc[9] = acc[9] + ac * dxv
+                acc[10] = acc[10] + ac * dyv
+                acc[11] = acc[11] + ac * dzv
             return acc
 
         if maxc is not None:
@@ -1044,11 +1072,12 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
     n_wf = n_window_fields(force, tune)
     maxc = None
     if tune.flat:
-        # flat worklist mode: tiles/counts become the per-tile chunk
-        # entry list (identical walk order, one-level kernel loop)
+        # flat worklist mode: tiles/counts arrive as the per-tile chunk
+        # entry list, expanded inside _line_intervals (identical walk
+        # order, one-level kernel loop)
         assert n is not None, "flat mode needs the particle count"
         maxc = n_lines * _line_cap(n, r, tune, occ_hint)
-        tiles, counts = _flat_worklist(tiles, n_lines, maxc)
+        assert tiles.shape[1] == maxc, (tiles.shape, maxc)
     tiles_cols = tiles.shape[1]
     kernel = functools.partial(_sph_kernel, n_lines, force, r,
                                use_ext, w_rows, tune, fused, maxc)
