@@ -281,13 +281,13 @@ def fluid_forces_slotted_rows(pos_rows: jax.Array, vel_rows: jax.Array,
         gwv = sph_math.grad_w_vis_r(abs_r, p.h, h6)
 
         press_j = sph_math.eos_pressure(rho_j, p.gas_constant, p.rest_density)
-        # positions are clamped (finite): one select on the coefficient
-        pc = jnp.where(
-            gate, (press_rows[:, None] + press_j) / (2.0 * safe_rho) * gwp,
-            0.0)
-        fpx = fpx + jnp.sum(pc * dx, axis=-1)
-        fpy = fpy + jnp.sum(pc * dy, axis=-1)
-        fpz = fpz + jnp.sum(pc * dz, axis=-1)
+        # whole-term selects: candidate positions can faithfully be NaN
+        # (inf velocities pass the acceleration-only NaN trap), so a
+        # selected coefficient times a NaN dx would re-leak NaN
+        pc = (press_rows[:, None] + press_j) / (2.0 * safe_rho) * gwp
+        fpx = fpx + jnp.sum(jnp.where(gate, pc * dx, 0.0), axis=-1)
+        fpy = fpy + jnp.sum(jnp.where(gate, pc * dy, 0.0), axis=-1)
+        fpz = fpz + jnp.sum(jnp.where(gate, pc * dz, 0.0), axis=-1)
 
         vc = gwv / safe_rho
         fvx = fvx + jnp.sum(

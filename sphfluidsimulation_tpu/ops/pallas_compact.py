@@ -430,13 +430,12 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
                 valid, (c_grad / h6) * diff_r * diff_r * diff_r * rs, 0.0)
             gwv = jnp.where(abs_r < h, (c_grad / h6) * diff_r, 0.0)
             press_j = gas_k * (rho_j - rho0)
-            # positions are clamped (finite), so one select on the shared
-            # coefficient suffices; velocity-diff terms select whole
-            pc = jnp.where(gate,
-                           (press_i + press_j) * 0.5 * inv_rho * gwp, 0.0)
-            acc[0] = acc[0] + pc * dxv
-            acc[1] = acc[1] + pc * dyv
-            acc[2] = acc[2] + pc * dzv
+            # whole-term selects: candidate positions can faithfully be
+            # NaN (see pallas_sph pair_block), so 0 * dxv can be NaN
+            pc = (press_i + press_j) * 0.5 * inv_rho * gwp
+            acc[0] = acc[0] + jnp.where(gate, pc * dxv, 0.0)
+            acc[1] = acc[1] + jnp.where(gate, pc * dyv, 0.0)
+            acc[2] = acc[2] + jnp.where(gate, pc * dzv, 0.0)
             vc = gwv * inv_rho
             acc[3] = acc[3] + jnp.where(gate, vc * (vjx - rvx), 0.0)
             acc[4] = acc[4] + jnp.where(gate, vc * (vjy - rvy), 0.0)
@@ -459,10 +458,10 @@ def _compact_kernel(force: bool, fused: bool, use_ext: bool, r: int,
                 pi_ok = (vr < 0) & (rho_bar > EPSILON)
                 pi = jnp.where(pi_ok, -cs * mu, 0.0) \
                     / jnp.where(pi_ok, rho_bar, 1.0)
-                ac = jnp.where(gate, pi * gwp, 0.0)
-                acc[9] = acc[9] + ac * dxv
-                acc[10] = acc[10] + ac * dyv
-                acc[11] = acc[11] + ac * dzv
+                ac = pi * gwp
+                acc[9] = acc[9] + jnp.where(gate, ac * dxv, 0.0)
+                acc[10] = acc[10] + jnp.where(gate, ac * dyv, 0.0)
+                acc[11] = acc[11] + jnp.where(gate, ac * dzv, 0.0)
             return acc
 
         for d in range(ck):

@@ -884,15 +884,16 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             gwv = jnp.where(abs_r < h, (c_grad / h6) * diff_r, 0.0)
 
             press_j = gas_k * (rho_j - rho0)
-            # positions are clamped by the reference every substep
-            # (VelPos.compute:154), so dxv/dyv/dzv are always finite: ONE
-            # select on the shared coefficient suffices (0 * finite = 0).
-            # Velocity diffs can be inf — those terms select whole.
-            pc = jnp.where(gate,
-                           (press_i + press_j) * 0.5 * inv_rho * gwp, 0.0)
-            acc[0] = acc[0] + pc * dxv
-            acc[1] = acc[1] + pc * dyv
-            acc[2] = acc[2] + pc * dzv
+            # whole-term selects: candidate positions are NOT provably
+            # finite (vel = inf + -inf = NaN passes the acceleration-only
+            # trap, VelPos.compute:143-150, and then pos goes NaN through
+            # the clamp — faithful), so 0 * dxv can be NaN; such particles
+            # are never real candidates (NaN cell -> out of bucket) and a
+            # whole-term select discards them exactly
+            pc = (press_i + press_j) * 0.5 * inv_rho * gwp
+            acc[0] = acc[0] + jnp.where(gate, pc * dxv, 0.0)
+            acc[1] = acc[1] + jnp.where(gate, pc * dyv, 0.0)
+            acc[2] = acc[2] + jnp.where(gate, pc * dzv, 0.0)
             vc = gwv * inv_rho
             acc[3] = acc[3] + jnp.where(gate, vc * (vjx - rvx), 0.0)
             acc[4] = acc[4] + jnp.where(gate, vc * (vjy - rvy), 0.0)
@@ -920,10 +921,10 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 pi_ok = (vr < 0) & (rho_bar > EPSILON)
                 pi = jnp.where(pi_ok, -cs * mu, 0.0) \
                     / jnp.where(pi_ok, rho_bar, 1.0)
-                ac = jnp.where(gate, pi * gwp, 0.0)   # d finite: 1 select
-                acc[9] = acc[9] + ac * dxv
-                acc[10] = acc[10] + ac * dyv
-                acc[11] = acc[11] + ac * dzv
+                ac = pi * gwp
+                acc[9] = acc[9] + jnp.where(gate, ac * dxv, 0.0)
+                acc[10] = acc[10] + jnp.where(gate, ac * dyv, 0.0)
+                acc[11] = acc[11] + jnp.where(gate, ac * dzv, 0.0)
             return acc
 
         if maxc is not None:
