@@ -78,8 +78,44 @@ def main():
         frame, pos_s + s, phys, r, n))
     timed("force_full", lambda s: ps.forces_pallas(
         frame, pos_s + s, vel_s, rho_s, phys, r, n)[0])
+    rows = ps.pack_rows(pos_s, vel_s, rho_s, None, n, tune)
+    timed("fields_from_rows", lambda s: ps.fields_from_rows(
+        frame, rows + s, n, r, tune))
+    timed("fused_substep", lambda s: ps.fused_substep(
+        frame, rows + s, phys, r, n, tune=tune)[0])
     timed("unsort", lambda s: jnp.zeros_like(pos_s).at[frame.order]
           .set(pos_s + s))
+
+    # whole-frame replicas of the rollout body, to localize glue not
+    # covered by the per-pass rows above (scan carries, metrics, ...)
+    from sphfluidsimulation_tpu.sim.stepper import _metrics, ParticleState
+
+    def whole_frame(s, with_metrics):
+        fr, (ps_, vs_, ns_) = ps.build_frame(
+            state.pos + s, r, cfg.voxel_capacity,
+            extras=(state.pos, jnp.zeros_like(state.pos),
+                    jnp.zeros(n, jnp.int32)),
+            gid=jnp.arange(n, dtype=jnp.int32), tune=tune)
+        rho, dcert = ps.density_pass(fr, ps_, phys, r, n, tune)
+        rws = ps.pack_rows(ps_, vs_, rho, None, n, tune)
+
+        def sub(c, _):
+            rws, cert = c
+            rws, cc = ps.fused_substep(fr, rws, phys, r, n, tune=tune)
+            return (rws, cert + cc), None
+
+        (rws, cert), _ = jax.lax.scan(sub, (rws, jnp.int32(0)), None,
+                                      length=cfg.substeps)
+        p2, v2, _, nh = ps.unpack_rows(rws, n)
+        if not with_metrics:
+            return p2
+        st = ParticleState(pos=p2, vel=v2, nan_count=nh)
+        m = _metrics(st, rho, jnp.sum(nh), jnp.sum(~fr.occ), phys,
+                     exact_cert=cert + dcert + fr.clip_count)
+        return (p2, m)
+
+    timed("frame_no_metrics", lambda s: whole_frame(s, False))
+    timed("frame_with_metrics", lambda s: whole_frame(s, True))
     signal.alarm(0)
     os._exit(0)
 
