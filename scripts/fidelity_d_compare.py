@@ -81,6 +81,26 @@ def main() -> int:
         for fr in range(opos.shape[0]):
             row.append(f"{rmse(backends[n]['pos'][fr][calm], opos[fr][calm]):.3e}")
         print("  ".join(row))
+
+    # NaN-aware view: positions go NaN FAITHFULLY on this flow (inf
+    # velocity + -inf acceleration passes the reference's
+    # isnan(acc)-only trap, VelPos.compute:143-150), which poisons the
+    # whole-array RMSE above from the first NaN frame. Restrict to
+    # particles finite in BOTH trajectories and report the NaN fraction.
+    print("\nfinite-subset view (frame: nan-frac, finite-RMSE vs f64,"
+          " finite-calm-RMSE):")
+    for n in names:
+        rows = [n]
+        for fr in range(opos.shape[0]):
+            bp = backends[n]["pos"][fr]
+            fin = (np.isfinite(bp).all(-1) & np.isfinite(opos[fr]).all(-1))
+            nanfrac = 1.0 - float(fin.mean())
+            fr_rmse = rmse(bp[fin], opos[fr][fin]) if fin.any() else float("nan")
+            fc = fin & calm
+            fc_rmse = rmse(bp[fc], opos[fr][fc]) if fc.any() else float("nan")
+            rows.append(f"f{fr + 1}: {nanfrac:.3f} {fr_rmse:.3e} "
+                        f"{fc_rmse:.3e}")
+        print("  ".join(rows))
     return 0
 
 
