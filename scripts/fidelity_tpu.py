@@ -77,6 +77,8 @@ def main():
         _part_a(calm, np)
     if only in ("all", "b"):
         _part_b(np)
+    if only in ("all", "b2"):
+        _part_b2(np)
     if only in ("all", "c"):
         _part_c(np)
 
@@ -129,6 +131,58 @@ def _part_b(np):
             "part": "golden262k", "backend": nb,
             "rmse": {str(k): rmse(got[k], ref[k]) for k in CHECKPOINTS},
             **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
+
+
+def _part_b2(np):
+    """Cross-backend table AT 262k, frames {1, 10, 100} (round 3).
+
+    Part B's full-length sites/slotted legs exceed the 1h stage budget at
+    262k (sites compiles ~320 s and runs ~10x slower than pallas); the
+    100-frame table still exercises every 262k code path and gives the
+    at-flagship-scale cross-backend RMSE that round 2 could not produce.
+    Pin = pallas.
+    """
+    import jax
+    from sphfluidsimulation_tpu.config import SimConfig
+    from sphfluidsimulation_tpu.sim.stepper import initial_state
+
+    legs = sys.argv[2:] or ["pallas", "sites", "slotted"]
+    pin_path = "/tmp/golden262k_100f_pin.npz"
+    global CHECKPOINTS
+    ckpts = CHECKPOINTS
+    CHECKPOINTS = (1, 10, 100)
+    try:
+        golden = SimConfig(particle_number=262144, bucket_resolution=47,
+                           site_capacity=24)
+        st = initial_state(golden)
+        if "pallas" in legs:
+            t0 = time.time()
+            _alarm(1800)
+            ref, stats = rollout_checkpoints(golden, "pallas", st,
+                                             max_chunk=10)
+            print(json.dumps({"part": "golden262k_100f",
+                              "backend": "pallas(pin)", **stats,
+                              "wall_s": round(time.time() - t0, 1)}),
+                  flush=True)
+            np.savez(pin_path,
+                     **{f"f{k}": np.asarray(v) for k, v in ref.items()})
+        else:
+            pin = np.load(pin_path)
+            ref = {k: pin[f"f{k}"] for k in CHECKPOINTS}
+        for nb in ("sites", "slotted"):
+            if nb not in legs:
+                continue
+            t0 = time.time()
+            _alarm(2700)
+            got, stats = rollout_checkpoints(golden, nb, st, max_chunk=10)
+            print(json.dumps({
+                "part": "golden262k_100f", "backend": nb,
+                "rmse": {str(k): rmse(got[k], ref[k])
+                         for k in CHECKPOINTS},
+                **stats, "wall_s": round(time.time() - t0, 1)}),
+                flush=True)
+    finally:
+        CHECKPOINTS = ckpts
 
 
 def _part_c(np):
