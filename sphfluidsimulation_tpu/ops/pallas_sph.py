@@ -115,6 +115,13 @@ class PallasTuning(NamedTuple):
       Mosaic from software-pipelining the long-latency pair math
       (sqrt/rsqrt chains) across chunks, a flat loop lets consecutive
       chunks overlap (scripts/probe_loopstruct_tpu.py, round 3).
+    * ``iki``: derive the force pass's per-tile worklist IN-KERNEL
+      (scalar prologue: 9 line lookups against an SMEM slice of the
+      cell-start table + monotone dedup + worklist stores) instead of
+      the per-substep XLA interval pass — the start[] gathers (~2 ms
+      @262k, ~11 ms @1M per substep) become ~240 ns/tile of scalar-core
+      work (scripts/probe_scalar_tpu.py). Identical walk and
+      certificates; requires ``flat`` + ``fused``.
     """
 
     rows_per_tile: int = 64
@@ -129,6 +136,7 @@ class PallasTuning(NamedTuple):
     compact_chunks: int = 0
     bf16: bool = False
     flat: bool = True
+    iki: bool = False
 
     @classmethod
     def from_env(cls) -> "PallasTuning":
@@ -155,6 +163,8 @@ class PallasTuning(NamedTuple):
                                  "1" if d.bf16 else "0") == "1",
             flat=_os.environ.get("SPH_PALLAS_FLAT",
                                  "1" if d.flat else "0") == "1",
+            iki=_os.environ.get("SPH_PALLAS_IKI",
+                                "1" if d.iki else "0") == "1",
         )
 
 
@@ -591,23 +601,14 @@ def _line_intervals(tc_lo, tc_hi, tile_is_pad, start, wbase, n_lines: int,
     return tiles, counts, clipped
 
 
-def fresh_force_intervals(frame: SortedFrame, pos_s: jax.Array, n: int,
-                          r: int, tune: PallasTuning,
-                          band: tuple[jax.Array, int] | None = None,
-                          occ_hint: float | None = None):
-    """Per-substep force intervals from each tile's FRESH cid span.
-
-    The stale 25-line structure existed to pre-cover ±1 cell of drift;
-    re-deriving the 9-line (e=1) ranges from the substep's actual fresh
-    cells is cheap ([T, 9] table arithmetic per substep) and always walks
-    the narrow window. Each tile's fresh span is clamped to its stale span
-    ± one cell-plane (M = r² + r + 1, i.e. ±1 cell on every axis) so one
-    fast outlier cannot inflate its whole tile's line lengths: rows whose
-    fresh cell stays within 1 of their stale cell are covered EXACTLY, and
-    out-of-clamp rows are counted per row into the certificate (the drift
-    contract of the 25-line design, at 9-line cost). Spec:
-    VelPos.compute:57-58 (fresh window centers) + :67-81 (candidate walk).
-    """
+def fresh_tile_spans(frame: SortedFrame, pos_s: jax.Array, n: int, r: int,
+                     tune: PallasTuning,
+                     band: tuple[jax.Array, int] | None = None
+                     ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-row-tile FRESH cid spans (clamped to stale ± 1 cell-plane) and
+    the per-row drift certificate — the XLA half of the force-interval
+    derivation, shared by the XLA interval pass and the in-kernel (iki)
+    worklist build."""
     npad = padded_n(n, tune)
     cell = jnp.clip((pos_s * (r - 1)).astype(jnp.int32), 0, r - 1)
     if band is None:
@@ -640,6 +641,29 @@ def fresh_force_intervals(frame: SortedFrame, pos_s: jax.Array, n: int,
     out_of_band = ((ft < lo_allow[:, None]) | (ft > hi_allow[:, None]))
     out_of_band = out_of_band & lt & ~frame.tile_is_pad[:, None]
     drift_cert = jnp.sum(out_of_band.astype(jnp.int32))
+    return tc_lo, tc_hi, drift_cert
+
+
+def fresh_force_intervals(frame: SortedFrame, pos_s: jax.Array, n: int,
+                          r: int, tune: PallasTuning,
+                          band: tuple[jax.Array, int] | None = None,
+                          occ_hint: float | None = None):
+    """Per-substep force intervals from each tile's FRESH cid span.
+
+    The stale 25-line structure existed to pre-cover ±1 cell of drift;
+    re-deriving the 9-line (e=1) ranges from the substep's actual fresh
+    cells is cheap ([T, 9] table arithmetic per substep) and always walks
+    the narrow window. Each tile's fresh span is clamped to its stale span
+    ± one cell-plane (M = r² + r + 1, i.e. ±1 cell on every axis) so one
+    fast outlier cannot inflate its whole tile's line lengths: rows whose
+    fresh cell stays within 1 of their stale cell are covered EXACTLY, and
+    out-of-clamp rows are counted per row into the certificate (the drift
+    contract of the 25-line design, at 9-line cost). Spec:
+    VelPos.compute:57-58 (fresh window centers) + :67-81 (candidate walk).
+    """
+    tc_lo, tc_hi, drift_cert = fresh_tile_spans(frame, pos_s, n, r, tune,
+                                                band)
+    s_cells = r * r * r if band is None else band[1] * r * r
     wbase = frame.win_f[:-1, 0, 0]
     tiles, counts, clipped = _line_intervals(
         tc_lo, tc_hi, frame.tile_is_pad, frame.start, wbase,
@@ -744,9 +768,8 @@ def _decode_cell(cid, r: int):
 def _sph_kernel(n_lines: int, force: bool, r: int,
                 use_ext: bool, w_rows: int, tune: PallasTuning,
                 fused: bool, maxc: int | None,
-                win_ref, win_nxt_ref, tiles_ref,
-                counts_ref, rows_ref, scal_ref, fields_ref, out_ref,
-                scratch, sems):
+                iki_geom: tuple[int, int, int] | None,
+                *refs):
     """One group: DMA the group's single candidate window, evaluate
     row-tiles over their merged disjoint chunk intervals.
 
@@ -754,7 +777,23 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
     computes from slot g%2 while the one DMA for group g+1 streams into
     the other slot (win_ref carries two rows — this group's base and the
     next's).
+
+    ``iki_geom = (s_slice, s_cells, line_cap)`` switches the force walk
+    to IN-KERNEL worklist derivation: per tile, the nine (dy, dz) line
+    bounds come from two scalar reads each against an SMEM slice of the
+    cell-start table (DMA'd per group), monotone-deduplicated and stored
+    to an SMEM worklist — replacing the per-substep XLA interval pass.
+    The walk order, caps and certificate conditions mirror
+    :func:`_line_intervals` exactly (plus a slice-coverage condition).
     """
+    if iki_geom is None:
+        (win_ref, win_nxt_ref, tiles_ref, counts_ref, rows_ref, scal_ref,
+         fields_ref, out_ref, scratch, sems) = refs
+    else:
+        (win_ref, win_nxt_ref, spans_ref, sb_ref, rows_ref, scal_ref,
+         fields_ref, start_ref, out_ref, cert_ref,
+         scratch, sems, wl, slc, slc_sem) = refs
+        s_slice, s_cells, line_cap = iki_geom
     rf = jnp.float32(r)
     g = pl.program_id(0)
     slot = jax.lax.rem(g, 2)
@@ -783,8 +822,21 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
         for c in _copies(1 - slot, win_nxt_ref):
             c.start()
 
+    if iki_geom is not None:
+        # start-table slice, single-buffered + synchronous: a DMA whose
+        # destination is a sub-view of a 2-D SMEM scratch crashes the
+        # Mosaic compiler on this libtpu (see pallas_compact) — the copy
+        # is ~16 KB/group and overlaps the window-DMA wait below
+        sc = pltpu.make_async_copy(
+            start_ref.at[pl.ds(pl.multiple_of(sb_ref[0, 0, 0], 1024),
+                               s_slice)], slc, slc_sem)
+        sc.start()
+
     for c in _copies(slot, win_ref):
         c.wait()
+    if iki_geom is not None:
+        sc.wait()
+        cert_acc = jnp.int32(0)
 
     h = scal_ref[0, 0]
     gas_k = scal_ref[0, 1]
@@ -934,13 +986,69 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             # Mosaic from software-pipelining the long-latency pair math
             # (sqrt/rsqrt) across chunks — flattening measured 2.7x
             # faster at identical work (scripts/probe_loopstruct_tpu.py)
-            fcnt = counts_ref[rt, 0]
+            if iki_geom is None:
+                fcnt = counts_ref[rt, 0]
+
+                def read_entry(j):
+                    return tiles_ref[rt, j]
+            else:
+                # in-kernel worklist build: scalar line lookups against
+                # the start-table slice, mirroring _line_intervals(flat)
+                # bit-exactly (same clamps, cap, cert conditions,
+                # monotone dedup, walk order) + a slice-coverage cert
+                lo = spans_ref[rt, 0]
+                hi = spans_ref[rt, 1]
+                tile_dead = lo >= s_cells
+                cbase = sb_ref[0, 0, 0]
+                wbase = win_ref[0, 0, 0]
+                cnt = jnp.int32(0)
+                hi_excl = jnp.int32(0)
+                tcert = jnp.int32(0)
+                for dz in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        off = dz * r * r + dy * r
+                        ta_cell = jnp.clip(lo + off - 1, 0, s_cells - 1)
+                        tb_cell = jnp.clip(hi + off + 1, 0,
+                                           s_cells - 1) + 1
+                        qa = ta_cell - cbase
+                        qb = tb_cell - cbase
+                        qas = jnp.clip(qa, 0, s_slice - 1)
+                        qbs = jnp.clip(qb, 0, s_slice - 1)
+                        out_slice = (qas != qa) | (qbs != qb)
+                        ta = slc[qas]
+                        tb = slc[qbs]
+                        k0 = jax.lax.div(ta, jnp.int32(LANES)) - wbase
+                        k1 = jax.lax.div(tb + (LANES - 1),
+                                         jnp.int32(LANES)) - wbase
+                        k1 = jnp.where(tb <= ta, k0, k1)
+                        bad = ((((k1 > w_rows) | (k1 > k0 + line_cap)
+                                 | (k0 < 0)) & (k1 > k0))
+                               | (out_slice & (tb > ta)))
+                        tcert = tcert + bad.astype(jnp.int32)
+                        k1 = jnp.minimum(k1, k0 + line_cap)
+                        k0 = jnp.clip(k0, 0, w_rows)
+                        k1 = jnp.clip(k1, k0, w_rows)
+                        k0d = jnp.maximum(k0, hi_excl)
+                        k1d = jnp.maximum(k1, k0d)
+                        hi_excl = jnp.maximum(hi_excl, k1)
+
+                        def wbody(i, cnt, k0d=k0d):
+                            wl[jnp.minimum(cnt, maxc - 1)] = k0d + i
+                            return cnt + 1
+
+                        cnt = jax.lax.fori_loop(0, k1d - k0d, wbody, cnt,
+                                                unroll=False)
+                fcnt = jnp.where(tile_dead, 0, jnp.minimum(cnt, maxc))
+                cert_acc = cert_acc + jnp.where(tile_dead, 0, tcert)
+
+                def read_entry(j):
+                    return wl[j]
 
             def flat_body(it, acc):
                 k = it * tune.unroll
                 for u in range(tune.unroll):
                     j = jnp.minimum(k + u, maxc - 1)
-                    ku = jnp.clip(tiles_ref[rt, j], 0, w_rows - 1)
+                    ku = jnp.clip(read_entry(j), 0, w_rows - 1)
                     lg = (k + u) < fcnt
                     acc = pair_block(scratch[slot, ku], lg, acc)
                 return acc
@@ -1063,6 +1171,9 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
         out_ref[rt] = jnp.concatenate(
             [npx, npy, npz, nvx, nvy, nvz, rrho, aux], axis=1)
 
+    if iki_geom is not None:
+        cert_ref[0, 0, 0] = cert_acc
+
 
 def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
                  tune: PallasTuning, win, tiles, counts, rows, scal,
@@ -1081,7 +1192,7 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
         assert tiles.shape[1] == maxc, (tiles.shape, maxc)
     tiles_cols = tiles.shape[1]
     kernel = functools.partial(_sph_kernel, n_lines, force, r,
-                               use_ext, w_rows, tune, fused, maxc)
+                               use_ext, w_rows, tune, fused, maxc, None)
     return pl.pallas_call(
         kernel,
         grid=(n_groups,),
@@ -1114,6 +1225,108 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
         ],
         interpret=_interpret(),
     )(win, win, tiles, counts, rows, scal, fields)
+
+
+def _iki_table_len(s_slice: int, s_cells: int) -> int:
+    # start table padded to the 1024-i32 HBM tile and at least one slice
+    return max(s_slice, ((s_cells + 1 + 1023) // 1024) * 1024)
+
+
+def _iki_slice_cells(n: int, r: int, tune: PallasTuning,
+                     occ_hint: float | None, s_cells: int) -> int:
+    """Static cell count of the per-group start-table SMEM slice: the
+    group's fresh span estimate plus the ±(r²+r+2) line-query margin plus
+    ≤1023 cells of 1024-alignment slack (the DMA base aligns down)."""
+    occ = occ_hint if occ_hint is not None else n / float(r * r * r)
+    gp = tune.tiles_per_group * tune.rows_per_tile
+    est = (tune.w_fudge * gp / max(occ, 1e-6)
+           + 2 * (r * r + r + 3) + 1024)
+    cells = int(math.ceil(est / 1024.0)) * 1024
+    return min(cells, ((s_cells + 1 + 1023) // 1024) * 1024)
+
+
+def _iki_pad_cell(s_cells: int, r: int) -> int:
+    # dead-tile span sentinel: lo >= s_cells marks the tile dead in-kernel
+    return s_cells + r * r + r + 2
+
+
+def _iki_slice_bases(tc_lo: jax.Array, tune: PallasTuning, r: int,
+                     s_slice: int, s_cells: int) -> jax.Array:
+    """Per-group slice base cells i32[G, 1, 1], 1024-aligned down (Mosaic
+    needs dynamic 1-D HBM offsets proven multiples of the tiling)."""
+    lo_g = jnp.min(tc_lo.reshape(-1, tune.tiles_per_group), axis=1)
+    base = jnp.clip(lo_g - (r * r + r + 2), 0,
+                    _iki_table_len(s_slice, s_cells) - s_slice)
+    base = (base // 1024) * 1024
+    return base[:, None, None].astype(jnp.int32)
+
+
+def _iki_padded_start(frame: SortedFrame, s_slice: int, s_cells: int,
+                      n: int) -> jax.Array:
+    """start table padded so every [base, base+s_slice) DMA is in bounds."""
+    tlen = _iki_table_len(s_slice, s_cells)
+    if s_cells + 1 >= tlen:
+        return frame.start
+    return jnp.pad(frame.start, (0, tlen - (s_cells + 1)),
+                   constant_values=n)
+
+
+def _call_iki(r: int, n: int, tune: PallasTuning,
+              occ_hint: float | None, win, spans, sbases, rows, scal,
+              fields, startp, s_cells: int, s_slice: int, *,
+              use_ext: bool):
+    """Fused force substep with IN-KERNEL worklist derivation (iki)."""
+    n_groups = win.shape[0] - 1
+    w_rows = window_rows(n, r, 2, E_X, tune, occ_hint)
+    n_wf = n_window_fields(True, tune)
+    line_cap = _line_cap(n, r, tune, occ_hint)
+    maxc = N_LINES_DENS * line_cap
+    kernel = functools.partial(_sph_kernel, N_LINES_DENS, True, r,
+                               use_ext, w_rows, tune, True, maxc,
+                               (s_slice, s_cells, line_cap))
+    out, cert = pl.pallas_call(
+        kernel,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda g: (g + 1, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tune.tiles_per_group, 2), lambda g: (g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tune.tiles_per_group, tune.rows_per_tile,
+                          N_FIELDS),
+                         lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((tune.tiles_per_group, tune.rows_per_tile,
+                          N_FIELDS), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (n_groups * tune.tiles_per_group, tune.rows_per_tile,
+                 N_FIELDS), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, w_rows, n_wf, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_wf)),
+            pltpu.SMEM((maxc,), jnp.int32),
+            pltpu.SMEM((s_slice,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(win, win, spans, sbases, rows, scal, fields, startp)
+    return out, jnp.sum(cert)
 
 
 def _scal(phys: PhysParams, xsph: float = 0.0,
@@ -1305,6 +1518,28 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
             tune=tune, band=band, occ_hint=occ_hint)
     pos_s = rows.reshape(-1, N_FIELDS)[:n, 0:3]
     fields = fields_from_rows(frame, rows, n, r, tune, occ_hint)
+    npad = padded_n(n, tune)
+    if tune.iki and tune.flat:
+        # in-kernel worklist derivation: only the (cheap, gather-free)
+        # fresh spans are computed in XLA; the per-substep start[] gather
+        # table (~2 ms @262k, ~11 ms @1M) moves into the kernel prologue
+        s_cells = r * r * r if band is None else band[1] * r * r
+        tc_lo, tc_hi, drift = fresh_tile_spans(frame, pos_s, n, r, tune,
+                                               band)
+        pad_c = jnp.int32(_iki_pad_cell(s_cells, r))
+        lo = jnp.where(frame.tile_is_pad, pad_c, tc_lo)
+        hi = jnp.where(frame.tile_is_pad, pad_c, tc_hi)
+        spans = jnp.stack([lo, hi], axis=1).astype(jnp.int32)
+        s_slice = _iki_slice_cells(n, r, tune, occ_hint, s_cells)
+        sbases = _iki_slice_bases(lo, tune, r, s_slice, s_cells)
+        startp = _iki_padded_start(frame, s_slice, s_cells, n)
+        out, kcert = _call_iki(
+            r, n, tune, occ_hint, frame.win_f, spans, sbases, rows,
+            _scal(phys, xsph, alpha_visc), fields, startp, s_cells,
+            s_slice, use_ext=use_ext)
+        new_rows = out.reshape(npad // tune.rows_per_tile,
+                               tune.rows_per_tile, N_FIELDS)
+        return new_rows, kcert + drift
     tiles_fr, counts_fr, cert = fresh_force_intervals(frame, pos_s, n, r,
                                                       tune, band, occ_hint)
     new_rows = _call_kernel(
@@ -1312,7 +1547,6 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
         tune, frame.win_f, tiles_fr, counts_fr, rows,
         _scal(phys, xsph, alpha_visc), fields, use_ext=use_ext, fused=True,
         n=n, occ_hint=occ_hint)
-    npad = padded_n(n, tune)
     new_rows = new_rows.reshape(npad // tune.rows_per_tile,
                                 tune.rows_per_tile, N_FIELDS)
     return new_rows, cert

@@ -334,3 +334,31 @@ def test_flat_worklist_bit_identical_to_nested():
         np.testing.assert_array_equal(outs[True][1], outs[False][1])
         assert outs[True][2] == outs[False][2]
         assert outs[True][3] == outs[False][3]
+
+
+@pytest.mark.slow
+def test_iki_worklist_bit_identical_to_flat():
+    """The v9 in-kernel worklist derivation (tune.iki: scalar start-slice
+    lookups + monotone dedup in the kernel prologue) produces the exact
+    integer worklists of the XLA interval pass, so trajectories,
+    certificates and overflow counts are BIT-identical — including on a
+    violent config where line caps and drift certificates fire."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    violent = SimConfig(particle_number=4096, bucket_resolution=13)
+    for cfg in (CALM, violent):
+        st = initial_state(cfg)
+        phys = PhysParams.from_config(cfg)
+        outs = {}
+        for iki in (False, True):
+            tune = PallasTuning(fused=True, flat=True, iki=iki)
+            step = jax.jit(make_param_step(cfg, neighbor="pallas",
+                                           pallas_tune=tune))
+            s, m = step(st, phys)
+            outs[iki] = (np.asarray(s.pos), np.asarray(s.vel),
+                         _cert(m), _ovf(m))
+        np.testing.assert_array_equal(outs[True][0], outs[False][0])
+        np.testing.assert_array_equal(outs[True][1], outs[False][1])
+        assert outs[True][2] == outs[False][2]
+        assert outs[True][3] == outs[False][3]
