@@ -399,7 +399,8 @@ def make_frame_step(cfg: SimConfig, *, neighbor: str = "slotted",
 
 
 def _make_pallas_rollout(cfg: SimConfig, n_frames: int,
-                         snapshot_every: int = 0, tune=None):
+                         snapshot_every: int = 0, tune=None,
+                         scan_unroll: bool = False):
     """Pallas rollout that keeps state in SORTED order across frames.
 
     The per-frame un-permute of the generic path costs three XLA scatters
@@ -438,8 +439,18 @@ def _make_pallas_rollout(cfg: SimConfig, n_frames: int,
                     tune=tune)
                 return (rows, cert + c), None
 
+            # Unrolling the 5-substep scan lets XLA fuse/overlap the
+            # between-kernel glue across substeps: +1.5-2% measured at
+            # 262k and 1M, bit-identical COMPILED (same certs/overflow on
+            # the TPU A/B). Off by default: in CPU-interpret mode the
+            # cross-substep re-fusion shifts a handful of elements by
+            # 1 ulp, which would break the rollout == per-frame-stepping
+            # bitwise contract (test_sorted_rollout_matches_per_frame_
+            # stepping); bench.py opts in explicitly.
             (rows, cert), _ = jax.lax.scan(
-                substep_f, (rows, jnp.int32(0)), None, length=cfg.substeps)
+                substep_f, (rows, jnp.int32(0)), None,
+                length=cfg.substeps,
+                unroll=cfg.substeps if scan_unroll else 1)
             pos_s, vel_s, _, nan_hits = pallas_sph.unpack_rows(rows, n)
         else:
             def substep(carry, _):
@@ -503,19 +514,24 @@ def _make_pallas_rollout(cfg: SimConfig, n_frames: int,
 
 def make_rollout(cfg: SimConfig, n_frames: int, *, neighbor: str = "slotted",
                  faithful: bool = True, snapshot_every: int = 0,
-                 pallas_tune=None):
+                 pallas_tune=None, scan_unroll: bool = False):
     """Build a jitted ``state → (state, metrics[, snapshots])`` rollout over
     ``n_frames`` frames via lax.scan (one device dispatch per rollout).
 
     ``snapshot_every=k`` (k > 0) additionally returns the position array of
     every k-th frame (frames k-1, 2k-1, ... in 0-based frame order), stacked
     as ``f32[n_frames // k, N, 3]``; 0 disables snapshots.
+
+    ``scan_unroll`` unrolls the pallas rollout's per-frame substep scan
+    (+1.5-2% measured, compiled-bit-identical; CPU-interpret re-fusion can
+    shift 1 ulp, so it is opt-in — bench.py enables it).
     """
     if snapshot_every < 0 or (snapshot_every and n_frames % snapshot_every):
         raise ValueError("snapshot_every must be 0 or divide n_frames")
     if neighbor == "pallas" and faithful and snapshot_every != 1:
         return _make_pallas_rollout(cfg.validate(), n_frames,
-                                    snapshot_every, tune=pallas_tune)
+                                    snapshot_every, tune=pallas_tune,
+                                    scan_unroll=scan_unroll)
     step = make_frame_step(cfg, neighbor=neighbor, faithful=faithful,
                            pallas_tune=pallas_tune)
 
