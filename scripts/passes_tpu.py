@@ -1,5 +1,7 @@
-"""Per-pass timing table on the TPU at 262k golden (VERDICT #2's ask):
+"""Per-pass timing table on the TPU at golden scale (VERDICT #2's ask):
 build_frame / pack_fields / pack_rows / fresh intervals / density / force.
+
+Usage: python scripts/passes_tpu.py [log2_n]   (default 18 -> 262k)
 
 Each pass runs ITER times inside one lax.scan dispatch; a scalar seed is
 chained through the iterations (added at 1e-30 scale to a float input) so
@@ -35,7 +37,9 @@ def main():
     float(jnp.sum(jnp.ones(8)))
     print("TPU up", flush=True)
 
-    cfg = scaled_config(1 << 18)
+    log2_n = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    cfg = scaled_config(1 << log2_n)
+    print(f"n = {cfg.n_particles}, R = {cfg.bucket_resolution}", flush=True)
     r, n = cfg.bucket_resolution, cfg.n_particles
     phys = PhysParams.from_config(cfg)
     state = initial_state(cfg)
@@ -85,6 +89,22 @@ def main():
         frame, rows + s, phys, r, n, tune=tune)[0])
     timed("unsort", lambda s: jnp.zeros_like(pos_s).at[frame.order]
           .set(pos_s + s))
+
+    # substep-scan ablations: is the ~30% gap between sum-of-parts and the
+    # composed frame in the substep scan itself, or in the composition?
+    def substep_scan(s, length, unroll):
+        def sub(c, _):
+            rws, cert = c
+            rws, cc = ps.fused_substep(frame, rws, phys, r, n, tune=tune)
+            return (rws, cert + cc), None
+
+        (out, cert), _ = jax.lax.scan(
+            sub, (rows + s, jnp.int32(0)), None, length=length,
+            unroll=length if unroll else 1)
+        return out
+
+    timed("substep_scan5", lambda s: substep_scan(s, 5, False))
+    timed("substep_scan5_unrolled", lambda s: substep_scan(s, 5, True))
 
     # whole-frame replicas of the rollout body, to localize glue not
     # covered by the per-pass rows above (scan carries, metrics, ...)
