@@ -25,6 +25,48 @@ from .utils.profiling import device_sync
 NORTH_STAR = 1e9  # particle-substeps/sec/chip @ 1M (BASELINE.json)
 
 
+def _site_bands(cfg: SimConfig) -> int:
+    """Resolved z-band count of a sites-tier run (0=auto in the config)."""
+    from .ops import sites
+    return cfg.site_bands or sites.auto_bands(cfg.bucket_resolution)
+
+
+def _host_rollout(cfg: SimConfig, state, frames: int, warmup_frames: int,
+                  neighbor: str, tune):
+    """Frame rollout as chained host dispatches of ONE jitted frame step.
+
+    The flagship-scale sites program is stable as a single-frame dispatch
+    but the frames-lax.scan composition of the very same step function
+    reproducibly faults the TPU worker at 1M (bisect: scripts/
+    probe_banded_tpu.py — binding/density/force/frame all pass, roll3
+    crashes). Chaining the per-frame jit on the host sidesteps the scan;
+    dispatches are async so the device still runs frames back-to-back
+    (per-frame metrics stay on device until the final sync).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .sim.stepper import make_frame_step
+
+    step = jax.jit(make_frame_step(cfg, neighbor=neighbor,
+                                   pallas_tune=tune))
+    t0 = time.perf_counter()
+    for _ in range(max(warmup_frames, 1)):
+        state, m = step(state)
+    device_sync(state.pos)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ms = []
+    for _ in range(frames):
+        state, m = step(state)
+        ms.append(m)
+    device_sync(state.pos)
+    elapsed = time.perf_counter() - t0
+    metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *ms)
+    return state, (state, metrics), compile_s, elapsed
+
+
 def scaled_config(n_particles: int,
                   site_capacity: int | None = None) -> SimConfig:
     """Golden physics at a given N; R scales to preserve voxel occupancy."""
@@ -36,7 +78,8 @@ def scaled_config(n_particles: int,
 
 def run_bench(n_particles: int = 1 << 20, frames: int = 20,
               warmup_frames: int = 5, neighbor: str = "pallas",
-              site_capacity: int | None = None, pallas_tune=None) -> dict:
+              site_capacity: int | None = None, pallas_tune=None,
+              host_loop: bool = False) -> dict:
     from .ops.pallas_sph import default_tuning
     tune = pallas_tune or default_tuning()
     cfg = scaled_config(n_particles, site_capacity)
@@ -46,22 +89,26 @@ def run_bench(n_particles: int = 1 << 20, frames: int = 20,
     # (certs/overflow match the scanned build on the TPU A/B); opt-in at
     # the rollout level because CPU-interpret re-fusion can shift 1 ulp
     unroll = os.environ.get("SPH_SCAN_UNROLL", "1") == "1"
-    warm = make_rollout(cfg, warmup_frames, neighbor=neighbor,
-                        pallas_tune=tune, scan_unroll=unroll)
-    t0 = time.perf_counter()
-    out = warm(state)
-    device_sync(out[0].pos)
-    compile_s = time.perf_counter() - t0
-    state = out[0]
+    if host_loop:
+        state, out, compile_s, elapsed = _host_rollout(
+            cfg, state, frames, warmup_frames, neighbor, tune)
+    else:
+        warm = make_rollout(cfg, warmup_frames, neighbor=neighbor,
+                            pallas_tune=tune, scan_unroll=unroll)
+        t0 = time.perf_counter()
+        out = warm(state)
+        device_sync(out[0].pos)
+        compile_s = time.perf_counter() - t0
+        state = out[0]
 
-    roll = make_rollout(cfg, frames, neighbor=neighbor, pallas_tune=tune,
-                        scan_unroll=unroll)
-    out = roll(state)          # separate compile for the timed length
-    device_sync(out[0].pos)
-    t0 = time.perf_counter()
-    out = roll(out[0])
-    device_sync(out[0].pos)
-    elapsed = time.perf_counter() - t0
+        roll = make_rollout(cfg, frames, neighbor=neighbor,
+                            pallas_tune=tune, scan_unroll=unroll)
+        out = roll(state)      # separate compile for the timed length
+        device_sync(out[0].pos)
+        t0 = time.perf_counter()
+        out = roll(out[0])
+        device_sync(out[0].pos)
+        elapsed = time.perf_counter() - t0
 
     import jax.numpy as jnp
     m = out[1]
@@ -82,6 +129,8 @@ def run_bench(n_particles: int = 1 << 20, frames: int = 20,
         "pallas_tuning": (tune._asdict() if neighbor == "pallas" else None),
         "scan_unroll": unroll,
         "site_capacity": cfg.site_capacity if neighbor == "sites" else None,
+        "site_bands": (_site_bands(cfg) if neighbor == "sites" else None),
+        "host_loop": host_loop,
         "exact_cert_total": cert,   # candidates/sites beyond capacity
         "overflow_max": ovf,        # bucket-capacity drops (reference quirk)
         "device": str(jax.devices()[0]),

@@ -107,6 +107,15 @@ class SimConfig:
     # certificate at zero on long rollouts without paying the j-side cost
     # (window flops scale with site_capacity_i × site_capacity).
     site_capacity_i: int | None = None
+    # Site-grid z-banding: process the domain as this many sequential
+    # z-bands per pass, each a dense [K, (span+6)·R²] slab-local grid —
+    # the dense R³ grids at R≥~60 (1M scale) overflow worker memory as
+    # one piece (BENCH_NOTES round 3). 1 = single full grid; 0 = auto
+    # (bands chosen so a band's grid stays under ~128k cells). The banded
+    # walk visits the same candidate set with identical site ranks, so
+    # results are bit-identical to the full grid on TPU and ULP-close on
+    # CPU (tests/test_sites.py).
+    site_bands: int = 0
     # Noise seed offset (the reference noise is a pure function of position
     # and particle index; seed shifts the noise-domain offset).
     seed: int = 0

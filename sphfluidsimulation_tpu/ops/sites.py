@@ -198,7 +198,8 @@ def build_j_sites(stale_cid: jax.Array, in_cap: jax.Array, pos: jax.Array,
                   vel: jax.Array | None, rho: jax.Array | None, r: int,
                   kj: int, p: PhysParams, *, xsph: bool = False,
                   avisc: bool = False, grid_s: int | None = None,
-                  member: jax.Array | None = None) -> JSites:
+                  member: jax.Array | None = None,
+                  cert_member: jax.Array | None = None) -> JSites:
     """The stale bucket re-expressed with fresh values, as sites.
 
     Site key: (stale flat cell, fresh position[, stale ρ][, fresh vel when
@@ -206,12 +207,19 @@ def build_j_sites(stale_cid: jax.Array, in_cap: jax.Array, pos: jax.Array,
     sums (the reference's ≤32 candidates per voxel, VelPos.compute:77-81).
     ``rho=None`` builds the position-only grid for the density pass.
 
-    ``grid_s``/``member`` support slab-local grids (parallel/slab.py):
-    ``stale_cid`` is then slab-local, the grid spans ``grid_s`` cells, and
-    ``member`` restricts the rows allowed to occupy sites (owned + valid).
-    In every case slot competition is additionally gated on ``in_cap`` —
-    capacity-dropped rows carry zero weight in all fields, so excluding
-    them is exact and keeps kj == voxel_capacity sufficient.
+    ``grid_s``/``member`` support slab-local grids (parallel/slab.py) and
+    z-banded grids (``density_sites``/``fluid_forces_sites`` with
+    ``z_bands > 1``): ``stale_cid`` is then local, the grid spans
+    ``grid_s`` cells, and ``member`` restricts the rows allowed to occupy
+    sites (owned + valid / in-band + halo). In every case slot competition
+    is additionally gated on ``in_cap`` — capacity-dropped rows carry zero
+    weight in all fields, so excluding them is exact and keeps
+    kj == voxel_capacity sufficient.
+
+    ``cert_member`` restricts which capacity-dropped rows the certificate
+    counts (banded grids overlap on halo planes; each voxel's drops must
+    be counted by exactly one band — its interior owner). None keeps the
+    full count.
     """
     n = pos.shape[0]
     s = grid_s if grid_s is not None else r * r * r
@@ -242,7 +250,9 @@ def build_j_sites(stale_cid: jax.Array, in_cap: jax.Array, pos: jax.Array,
     vsum = (None if vel is None
             else jnp.stack([add(vel[order, a] * w) for a in range(3)]))
     # reference candidates that found no site slot (capacity overflow)
-    cert = jnp.sum(jnp.where(slot >= kj * s, w, 0.0)).astype(jnp.int32)
+    wc = w if cert_member is None else (in_cap & cert_member)[order].astype(
+        jnp.float32)
+    cert = jnp.sum(jnp.where(slot >= kj * s, wc, 0.0)).astype(jnp.int32)
 
     if rho is None:
         return JSites(pos=pos_s, a=mult, bp=None, cv=None, dv=None,
@@ -266,21 +276,30 @@ def build_j_sites(stale_cid: jax.Array, in_cap: jax.Array, pos: jax.Array,
 
 def build_i_sites(pos: jax.Array, vel: jax.Array | None,
                   rho: jax.Array | None, r: int, ki: int, *,
-                  avisc: bool = False) -> ISites:
+                  avisc: bool = False, grid_s: int | None = None,
+                  zbase: jax.Array | int = 0,
+                  member: jax.Array | None = None) -> ISites:
     """Evaluation sites keyed by the fresh voxel (clamped into range; the
-    out-of-range remainder δ widens the window — spawn jitter only)."""
+    out-of-range remainder δ widens the window — spawn jitter only).
+
+    ``grid_s``/``zbase``/``member`` build a z-band-local grid instead
+    (cells ``[zbase·R², zbase·R² + grid_s)`` of the global id space):
+    only ``member`` rows compete for sites or count toward the
+    certificate; the others read the sentinel slot."""
     n = pos.shape[0]
-    s = r * r * r
+    s = grid_s if grid_s is not None else r * r * r
     cell = (pos * (r - 1)).astype(jnp.int32)
     clamped = jnp.clip(cell, 0, r - 1)
     cid = clamped[..., 0] + clamped[..., 1] * r + clamped[..., 2] * (r * r)
+    if grid_s is not None:
+        cid = cid - jnp.int32(zbase) * (r * r)
     keys = [pos[:, 0], pos[:, 1], pos[:, 2]]
     if rho is not None:
         keys.append(rho)
     if avisc:
         keys += [vel[:, 0], vel[:, 1], vel[:, 2]]
-    slot, order = _site_slots(keys, cid, n, s, ki,
-                              jnp.ones(n, jnp.bool_))
+    mem = jnp.ones(n, jnp.bool_) if member is None else member
+    slot, order = _site_slots(keys, cid, n, s, ki, mem)
     slot_of = jnp.zeros(n, jnp.int32).at[order].set(slot)
 
     def put(vals_sorted, fill=0.0):
@@ -297,9 +316,11 @@ def build_i_sites(pos: jax.Array, vel: jax.Array | None,
         for a in range(3)])
     dmax = jnp.max(jnp.abs(delta)).astype(jnp.int32)
     # certificate: particles with no evaluation site (capacity) or beyond
-    # the widest compiled window's δ coverage (spawn overshoot > 2 cells)
-    cert = (jnp.sum(slot >= ki * s)
-            + jnp.sum(jnp.max(jnp.abs(d), axis=-1) > 2)).astype(jnp.int32)
+    # the widest compiled window's δ coverage (spawn overshoot > 2 cells);
+    # band-local builds count their own members only
+    cert = (jnp.sum((slot >= ki * s) & mem[order])
+            + jnp.sum((jnp.max(jnp.abs(d), axis=-1) > 2) & mem)
+            ).astype(jnp.int32)
     return ISites(
         pos=pos_s, rho=None if rho is None else put(rho[order]),
         vel=None if not avisc else jnp.stack(
@@ -613,13 +634,21 @@ def _escalated(i: ISites, j: JSites, p: PhysParams, runs):
 
 
 def density_sites(pos: jax.Array, stale_cid: jax.Array, in_cap: jax.Array,
-                  p: PhysParams, r: int, ki: int, kj: int):
+                  p: PhysParams, r: int, ki: int, kj: int,
+                  z_bands: int = 1):
     """Frame-start density per particle (Density.compute:32-60).
 
     Returns (rho f32[N], cert i32[]). Evaluation uses the same positions the
     bucket was built from (SphFluidSimulation.cs:98-100), so the i-grid is
     both fresh- and stale-centered at once — drift-free by construction.
+
+    ``z_bands > 1`` runs the same pass over sequential z-band-local grids
+    (see :func:`auto_bands`) — bit-identical results, O(grid_s) peak grid
+    memory instead of O(R³).
     """
+    if z_bands > 1:
+        return _banded_pass(pos, None, None, stale_cid, in_cap, p, r, ki,
+                            kj, z_bands, density=True)
     s = r * r * r
     j = build_j_sites(stale_cid, in_cap, pos, None, None, r, kj, p)
     i = build_i_sites(pos, None, None, r, ki)
@@ -632,13 +661,20 @@ def density_sites(pos: jax.Array, stale_cid: jax.Array, in_cap: jax.Array,
 def fluid_forces_sites(pos: jax.Array, vel: jax.Array, rho: jax.Array,
                        stale_cid: jax.Array, in_cap: jax.Array,
                        p: PhysParams, r: int, ki: int, kj: int, *,
-                       xsph: float = 0.0, alpha_visc: float = 0.0):
+                       xsph: float = 0.0, alpha_visc: float = 0.0,
+                       z_bands: int = 1):
     """Pressure + viscosity (+ extensions) per particle for one substep.
 
     ``pos``/``vel`` are fresh, ``rho``/``stale_cid``/``in_cap`` frame-stale —
     the reference's candidate semantics (VelPos.compute:57-58, 77-94).
     Returns (f_fluid f32[N,3], xsph_dv f32[N,3] | None, cert i32[]).
+
+    ``z_bands > 1`` runs z-band-local grids (see :func:`auto_bands`).
     """
+    if z_bands > 1:
+        return _banded_pass(pos, vel, rho, stale_cid, in_cap, p, r, ki,
+                            kj, z_bands, density=False, xsph=xsph,
+                            alpha_visc=alpha_visc)
     s = r * r * r
     use_x, use_a = xsph != 0.0, alpha_visc != 0.0
     j = build_j_sites(stale_cid, in_cap, pos, vel, rho, r, kj, p,
@@ -657,3 +693,113 @@ def fluid_forces_sites(pos: jax.Array, vel: jax.Array, rho: jax.Array,
         dv = (jnp.stack([_gather_site(i, xstat[a]) for a in range(3)], -1)
               - vel * _gather_site(i, xcoef)[:, None])
     return f, dv, i.cert + j.cert
+
+
+# ---------------------------------------------------------------------------
+# z-banded grids (flagship-scale variant)
+# ---------------------------------------------------------------------------
+
+# Largest band-local grid (cells) the auto rule allows: sized so a banded
+# 1M-particle pass (R=75) works in grids no larger than the proven-stable
+# 262k full grid (47³ ≈ 104k cells) — the one-piece 75³ grid reproducibly
+# crashed the TPU worker (BENCH_NOTES rounds 2-3).
+SITE_BAND_AUTO_CELLS = 1 << 17
+_BAND_HALO = 3  # planes; covers the widest spawn-escalation window (w=3)
+
+
+def auto_bands(r: int) -> int:
+    """Smallest band count whose band-local grid fits the auto budget
+    (1 == use the plain full-grid pass)."""
+    if r * r * r <= SITE_BAND_AUTO_CELLS:
+        return 1
+    for nb in range(2, r + 1):
+        zspan = -(-r // nb)
+        if (zspan + 2 * _BAND_HALO) * r * r <= SITE_BAND_AUTO_CELLS:
+            return nb
+    return r
+
+
+def _banded_pass(pos, vel, rho, stale_cid, in_cap, p: PhysParams, r: int,
+                 ki: int, kj: int, nb: int, *, density: bool,
+                 xsph: float = 0.0, alpha_visc: float = 0.0):
+    """One density or force pass as ``nb`` sequential z-band-local grids.
+
+    Band b owns fresh planes [b·zspan, (b+1)·zspan); its grid spans those
+    plus ``_BAND_HALO`` halo planes each side, so every window offset the
+    escalated pass can take (|oz| ≤ 3) reads real candidates. Site ranks
+    within a voxel depend only on that voxel's rows (a voxel lies wholly
+    in one plane), so each band's grid holds exactly the full grid's
+    sites for its planes and each i-site accumulates the identical
+    candidate set in the identical order: on TPU the results are
+    bit-identical to the one-piece pass (density is bit-identical on CPU
+    too; the CPU force pass fuses/FMA-contracts differently per grid
+    extent → ULP-level differences, pinned in tests/test_sites.py).
+    Certificates count each voxel's drops in its interior owner band only.
+    """
+    n = pos.shape[0]
+    zspan = -(-r // nb)
+    s_loc = (zspan + 2 * _BAND_HALO) * r * r
+    s_glob = r * r * r
+    use_x, use_a = xsph != 0.0, alpha_visc != 0.0
+
+    fz = jnp.clip((pos[:, 2] * (r - 1)).astype(jnp.int32), 0, r - 1)
+    in_rng = (stale_cid >= 0) & (stale_cid < s_glob)
+    sz = jnp.where(in_rng, stale_cid // (r * r), -_BAND_HALO - 1)
+
+    def band(carry, zb0):
+        lo = zb0 - _BAND_HALO
+        j_mem = in_cap & in_rng & (sz >= lo) & (sz < zb0 + zspan
+                                                + _BAND_HALO)
+        j_int = (sz >= zb0) & (sz < zb0 + zspan)
+        i_mem = (fz >= zb0) & (fz < zb0 + zspan)
+        cid_loc = stale_cid - lo * (r * r)
+        if density:
+            j = build_j_sites(cid_loc, in_cap, pos, None, None, r, kj, p,
+                              grid_s=s_loc, member=j_mem,
+                              cert_member=j_int)
+            i = build_i_sites(pos, None, None, r, ki, grid_s=s_loc,
+                              zbase=lo, member=i_mem)
+            rho_site = _escalated(
+                i, j, p, [make_density_pass(r, s_loc, w, zbase=lo)
+                          for w in (1, 2, 3)])
+            rho_acc, cert = carry
+            rho_b = _gather_site(i, rho_site, 0.0)
+            return (jnp.where(i_mem, rho_b, rho_acc),
+                    cert + i.cert + j.cert), None
+
+        j = build_j_sites(cid_loc, in_cap, pos, vel, rho, r, kj, p,
+                          xsph=use_x, avisc=use_a, grid_s=s_loc,
+                          member=j_mem, cert_member=j_int)
+        i = build_i_sites(pos, vel if use_a else None, rho, r, ki,
+                          avisc=use_a, grid_s=s_loc, zbase=lo,
+                          member=i_mem)
+        sums = _escalated(
+            i, j, p,
+            [make_force_pass(r, s_loc, w, xsph=xsph,
+                             alpha_visc=alpha_visc, zbase=lo)
+             for w in (1, 2, 3)])
+        fstat, vcoef, xstat, xcoef = combine_forces(
+            sums, i, p, xsph=xsph, alpha_visc=alpha_visc)
+        fs, vc, xs, xc, cert = carry
+
+        def upd(acc, site_arr):
+            return jnp.where(i_mem, _gather_site(i, site_arr, 0.0), acc)
+
+        fs = [upd(fs[a], fstat[a]) for a in range(3)]
+        vc = upd(vc, vcoef)
+        if use_x:
+            xs = [upd(xs[a], xstat[a]) for a in range(3)]
+            xc = upd(xc, xcoef)
+        return (fs, vc, xs, xc, cert + i.cert + j.cert), None
+
+    zb0s = jnp.arange(nb, dtype=jnp.int32) * zspan
+    zero = jnp.zeros(n, jnp.float32)
+    if density:
+        (rho_out, cert), _ = lax.scan(band, (zero, jnp.int32(0)), zb0s)
+        return rho_out, cert
+    carry0 = ([zero] * 3, zero, [zero] * 3 if use_x else None,
+              zero if use_x else None, jnp.int32(0))
+    (fs, vc, xs, xc, cert), _ = lax.scan(band, carry0, zb0s)
+    f = jnp.stack(fs, -1) - vel * vc[:, None]
+    dv = (jnp.stack(xs, -1) - vel * xc[:, None]) if use_x else None
+    return f, dv, cert

@@ -225,11 +225,14 @@ def _make_sites_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
     kj = cfg.site_capacity
     ki = cfg.site_capacity_i or kj
     xsph, alpha = cfg.xsph, cfg.artificial_viscosity
+    # z-banded grids at flagship scale (the one-piece R³ grid overflows
+    # worker memory at R≥~60; bit-identical — see sites._banded_pass)
+    nb = cfg.site_bands or sites.auto_bands(r)
 
     def frame_aux(pos, phys):
         stale_cid, in_cap, ovf = sites.frame_binding(pos, r, cap)
         rho, cert = sites.density_sites(pos, stale_cid, in_cap, phys, r,
-                                        ki, kj)
+                                        ki, kj, z_bands=nb)
         return stale_cid, in_cap, ovf, rho, cert
 
     def step(state: ParticleState, phys: PhysParams
@@ -244,7 +247,7 @@ def _make_sites_step(cfg: SimConfig, *, faithful: bool = True) -> ParamStepFn:
                 cert = cert + cd
             f, dv, c = sites.fluid_forces_sites(
                 pos, vel, rho, stale_cid, in_cap, phys, r, ki, kj,
-                xsph=xsph, alpha_visc=alpha)
+                xsph=xsph, alpha_visc=alpha, z_bands=nb)
             pos, vel, nan_mask = integrate_substep(pos, vel, f, phys, dv)
             return (pos, vel, nan_hits + nan_mask.astype(jnp.int32),
                     cert + c, stale_cid, in_cap, rho), None

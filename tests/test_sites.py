@@ -274,3 +274,133 @@ def test_kj_scanned_matches_broadcast(monkeypatch):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_b),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# z-banded grids (flagship-scale variant, sites._banded_pass)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nb", [2, 3, 5])
+def test_banded_density_bit_identical(nb):
+    """z-banded density == one-piece density BIT-identical: each band's
+    grid holds exactly the full grid's sites for its planes and the
+    window walk visits offsets in the same order."""
+    cfg = SimConfig(particle_number=2048, bucket_resolution=11)
+    p = PhysParams.from_config(cfg)
+    pos, _ = _random_cloud(cfg.n_particles, seed=42)
+    r = cfg.bucket_resolution
+    cid, in_cap, _ = sites.frame_binding(pos, r, 32)
+    rho_full, cert_full = jax.jit(lambda: sites.density_sites(
+        pos, cid, in_cap, p, r, 16, 16))()
+    rho_band, cert_band = jax.jit(lambda: sites.density_sites(
+        pos, cid, in_cap, p, r, 16, 16, z_bands=nb))()
+    assert int(cert_full) == 0 and int(cert_band) == 0
+    np.testing.assert_array_equal(np.asarray(rho_band),
+                                  np.asarray(rho_full))
+
+
+@pytest.mark.parametrize("nb", [2, 4])
+def test_banded_forces_match(nb):
+    # the banded force pass evaluates the identical candidate set in the
+    # identical order; on TPU the result is bit-identical (checked by
+    # scripts/smoke_tpu.py), while CPU XLA's fusion/FMA choices vary with
+    # the grid extent → ULP-level differences only
+    cfg = SimConfig(particle_number=2048, bucket_resolution=11)
+    p = PhysParams.from_config(cfg)
+    pos, vel = _random_cloud(cfg.n_particles, seed=43)
+    r = cfg.bucket_resolution
+    cid, in_cap, _ = sites.frame_binding(pos, r, 32)
+    rho, _ = sites.density_sites(pos, cid, in_cap, p, r, 16, 16)
+    f_full, dv_f, c_full = jax.jit(lambda: sites.fluid_forces_sites(
+        pos, vel, rho, cid, in_cap, p, r, 16, 16))()
+    f_band, dv_b, c_band = jax.jit(lambda: sites.fluid_forces_sites(
+        pos, vel, rho, cid, in_cap, p, r, 16, 16, z_bands=nb))()
+    assert dv_f is None and dv_b is None
+    assert int(c_full) == 0 and int(c_band) == 0
+    np.testing.assert_allclose(np.asarray(f_band), np.asarray(f_full),
+                               atol=1e-7)
+
+
+def test_banded_extensions_match():
+    # xsph + avisc widen the site key and add field arrays — the banded
+    # walk must carry all of them (ULP tolerance: see banded_forces_match)
+    cfg = SimConfig(particle_number=1024, bucket_resolution=9,
+                    xsph=0.05, artificial_viscosity=0.2)
+    p = PhysParams.from_config(cfg)
+    pos, vel = _random_cloud(cfg.n_particles, seed=44)
+    r = cfg.bucket_resolution
+    cid, in_cap, _ = sites.frame_binding(pos, r, 32)
+    rho, _ = sites.density_sites(pos, cid, in_cap, p, r, 16, 16)
+    args = dict(xsph=cfg.xsph, alpha_visc=cfg.artificial_viscosity)
+    f_full, dv_f, c_f = jax.jit(lambda: sites.fluid_forces_sites(
+        pos, vel, rho, cid, in_cap, p, r, 32, 32, **args))()
+    f_band, dv_b, c_b = jax.jit(lambda: sites.fluid_forces_sites(
+        pos, vel, rho, cid, in_cap, p, r, 32, 32, z_bands=3, **args))()
+    assert int(c_f) == 0 and int(c_b) == 0
+    np.testing.assert_allclose(np.asarray(f_band), np.asarray(f_full),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dv_b), np.asarray(dv_f),
+                               atol=1e-7)
+
+
+def test_banded_cert_counts_once():
+    # capacity overflow: each voxel's dropped candidates counted by its
+    # interior owner band exactly once → banded cert == full cert (> 0)
+    n = 512
+    rng = np.random.default_rng(7)
+    # dense pile spanning several z planes so bands share halo voxels
+    pos = jnp.asarray(rng.uniform(0.3, 0.7, (n, 3)), jnp.float32)
+    r = 7
+    cfg = SimConfig(particle_number=n, bucket_resolution=r)
+    p = PhysParams.from_config(cfg)
+    cid, in_cap, _ = sites.frame_binding(pos, r, 32)
+    rho_f, cert_f = sites.density_sites(pos, cid, in_cap, p, r, 2, 2)
+    rho_b, cert_b = sites.density_sites(pos, cid, in_cap, p, r, 2, 2,
+                                        z_bands=3)
+    assert int(cert_f) > 0
+    assert int(cert_b) == int(cert_f)
+
+
+def test_banded_spawn_jitter_escalation():
+    # preset spawns overshoot the unit cube (jitter) → the widened windows
+    # (w=2,3) must read real halo candidates in banded mode too
+    cfg = SimConfig(particle_number=4096, bucket_resolution=13, preset=2)
+    p = PhysParams.from_config(cfg)
+    pos = init_positions(cfg)
+    r = cfg.bucket_resolution
+    cid, in_cap, _ = sites.frame_binding(pos, r, 32)
+    rho_f, cert_f = jax.jit(lambda: sites.density_sites(
+        pos, cid, in_cap, p, r, 32, 32))()
+    rho_b, cert_b = jax.jit(lambda: sites.density_sites(
+        pos, cid, in_cap, p, r, 32, 32, z_bands=4))()
+    assert int(cert_b) == int(cert_f)
+    np.testing.assert_array_equal(np.asarray(rho_b), np.asarray(rho_f))
+
+
+def test_banded_step_matches_full():
+    # whole frame step through the stepper with cfg.site_bands forced
+    cfg_full = SimConfig(particle_number=1024, bucket_resolution=11,
+                         site_capacity=16, site_bands=1)
+    cfg_band = SimConfig(particle_number=1024, bucket_resolution=11,
+                         site_capacity=16, site_bands=3)
+    st = initial_state(cfg_full)
+    s_f, m_f = jax.jit(make_frame_step(cfg_full, neighbor="sites"))(st)
+    s_b, m_b = jax.jit(make_frame_step(cfg_band, neighbor="sites"))(st)
+    assert int(m_f.exact_cert) == 0 and int(m_b.exact_cert) == 0
+    np.testing.assert_allclose(np.asarray(s_b.pos), np.asarray(s_f.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_b.vel), np.asarray(s_f.vel),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_auto_bands_rule():
+    # small grids: single piece; flagship grids: banded so a band's grid
+    # stays under the budget while covering the halo
+    assert sites.auto_bands(47) == 1                      # 47^3 ~ 104k
+    for r in (60, 75, 95):
+        nb = sites.auto_bands(r)
+        assert nb > 1
+        zspan = -(-r // nb)
+        assert (zspan + 2 * sites._BAND_HALO) * r * r \
+            <= sites.SITE_BAND_AUTO_CELLS
