@@ -60,6 +60,29 @@ def rmse(a, b):
     return float(jnp.sqrt(jnp.mean((a - b) ** 2)))
 
 
+def host_checkpoints(cfg, neighbor, state, ckpts):
+    """rollout_checkpoints via chained host dispatches of one jitted frame
+    step — the flagship-scale sites composition (its single-frame dispatch
+    is stable at 1M where the frames-lax.scan faults the worker; see
+    scripts/probe_banded_tpu.py and BENCH_NOTES round 3)."""
+    import jax
+    from sphfluidsimulation_tpu.sim.stepper import make_frame_step
+
+    step = jax.jit(make_frame_step(cfg, neighbor=neighbor))
+    out, cert, ovf, nan = {}, 0, 0, 0
+    done = 0
+    for upto in ckpts:
+        while done < upto:
+            state, m = step(state)
+            jax.block_until_ready(state.pos)
+            cert += int(m.exact_cert)
+            ovf = max(ovf, int(m.overflow))
+            nan += int(m.nan_events)
+            done += 1
+        out[upto] = state.pos
+    return out, {"cert": cert, "ovf_max": ovf, "nan": nan}
+
+
 def main():
     import numpy as np
     from sphfluidsimulation_tpu.config import SimConfig
@@ -79,8 +102,40 @@ def main():
         _part_b(np)
     if only in ("all", "b2"):
         _part_b2(np)
+    if only in ("all", "b3"):
+        _part_b3(np)
     if only in ("all", "c"):
         _part_c(np)
+
+
+def _part_b3(np):
+    """Cross-backend table AT 1M, frames {1, 5} (round 3).
+
+    Needs the z-banded site grids (ops/sites.py) + host-loop dispatch:
+    rounds 1-2 could not run the sites tier at 1M at all. Pin = pallas.
+    site_capacity=32 (the violent dam packs >16 distinct sites into wall
+    voxels at this scale; the cert quantifies what remains beyond 32).
+    """
+    import jax
+    from sphfluidsimulation_tpu.bench import scaled_config
+    from sphfluidsimulation_tpu.sim.stepper import initial_state
+
+    golden = scaled_config(1 << 20, site_capacity=32)
+    st = initial_state(golden)
+    ckpts = (1, 5)
+    t0 = time.time()
+    _alarm(3000)
+    ref, stats = host_checkpoints(golden, "pallas", st, ckpts)
+    print(json.dumps({"part": "golden1M_5f", "backend": "pallas(pin)",
+                      **stats, "wall_s": round(time.time() - t0, 1)}),
+          flush=True)
+    t0 = time.time()
+    _alarm(3000)
+    got, stats = host_checkpoints(golden, "sites", st, ckpts)
+    print(json.dumps({
+        "part": "golden1M_5f", "backend": "sites",
+        "rmse": {str(k): rmse(got[k], ref[k]) for k in ckpts},
+        **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
 
 
 def _part_a(calm, np):

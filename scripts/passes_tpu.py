@@ -44,6 +44,19 @@ def main():
     phys = PhysParams.from_config(cfg)
     state = initial_state(cfg)
 
+    # Optional: evolve the state first. The spawn state UNDERSTATES the
+    # steady-state per-pass cost (the chain probe measured 59 ms/substep on
+    # frozen spawn rows vs ~76-91 ms on evolved states at 1M — wall pileup
+    # and drift widen the candidate work); pass an evolve frame count to
+    # time the passes on the workload the bench actually runs.
+    evolve = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    if evolve:
+        from sphfluidsimulation_tpu.sim.stepper import make_rollout
+        roll = make_rollout(cfg, evolve, neighbor="pallas")
+        state = roll(state)[0]
+        jax.block_until_ready(state.pos)
+        print(f"evolved {evolve} frames", flush=True)
+
     frame, (pos_s, vel_s) = jax.jit(
         lambda p: ps.build_frame(p, r, cfg.voxel_capacity,
                                  extras=(p, jnp.zeros_like(p))))(state.pos)

@@ -291,7 +291,8 @@ def cmd_sweep(a) -> int:
 def cmd_bench(a) -> int:
     from .bench import run_bench
     result = run_bench(n_particles=a.particles, frames=a.frames,
-                       warmup_frames=a.warmup, neighbor=a.neighbor)
+                       warmup_frames=a.warmup, neighbor=a.neighbor,
+                       host_loop=a.host_loop)
     print(json.dumps(result))
     return 0
 
@@ -356,6 +357,11 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--neighbor", choices=["sites", "pallas", "slotted", "gather"],
                    default="pallas")
+    p.add_argument("--host-loop", action="store_true",
+                   help="chain per-frame dispatches from the host instead "
+                        "of one frames-lax.scan (required for the sites "
+                        "tier at 1M — the scan composition faults the TPU "
+                        "worker there; see BENCH_NOTES)")
     p.set_defaults(fn=cmd_bench)
 
     a = parser.parse_args(argv)

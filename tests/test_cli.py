@@ -69,3 +69,17 @@ def test_run_slab_rejects_unsupported_flags(tmp_path, capsys):
                "--corrected"])
     assert rc == 2
     assert "--corrected" in capsys.readouterr().err
+
+
+def test_bench_host_loop(capsys):
+    # host-loop bench mode: chained per-frame dispatches (the flagship-
+    # scale sites composition; see bench._host_rollout) — tiny shapes
+    from sphfluidsimulation_tpu.cli import main
+
+    rc = main(["bench", "--particles", "1024", "--frames", "2",
+               "--warmup", "1", "--neighbor", "sites", "--host-loop"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["host_loop"] is True
+    assert out["site_bands"] >= 1
+    assert out["value"] > 0
