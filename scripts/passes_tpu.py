@@ -65,7 +65,13 @@ def main():
     jax.block_until_ready(rho_s)
 
     def tsum(x):
-        return sum(jnp.sum(l.astype(jnp.float32))
+        # finite-guarded: on violent evolved states pass outputs hold
+        # inf/NaN; an unguarded sum turns the seed NaN and every later
+        # iteration then runs on NaN-poisoned inputs whose worklists are
+        # near-empty — silently timing fake-cheap frames (round-3 probe
+        # postmortem, BENCH_NOTES "the seed-poisoning artifact")
+        return sum(jnp.sum(jnp.where(jnp.isfinite(l.astype(jnp.float32)),
+                                     l.astype(jnp.float32), 0.0))
                    for l in jax.tree.leaves(x) if hasattr(l, "astype"))
 
     def timed(name, seeded_fn):

@@ -64,7 +64,10 @@ def main():
         def body(c, _):
             out, _ = ps.fused_substep(frame, rows + c * 1e-30, phys, r, n,
                                       tune=tune)
-            return jnp.sum(out) * 1e-30, None
+            # finite-guarded seed: an inf/NaN lane in `out` would poison
+            # every later iteration's input (see passes_tpu.tsum note)
+            fin = jnp.where(jnp.isfinite(out), out, 0.0)
+            return jnp.sum(fin) * 1e-30, None
         return jax.lax.scan(body, jnp.float32(0.0), None, length=ITER)[0]
 
     def b_dependent():
