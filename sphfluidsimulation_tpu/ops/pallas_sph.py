@@ -122,6 +122,18 @@ class PallasTuning(NamedTuple):
       @262k, ~11 ms @1M per substep) become ~240 ns/tile of scalar-core
       work (scripts/probe_scalar_tpu.py). Identical walk and
       certificates; requires ``flat`` + ``fused``.
+    * ``fuse_acc``: pressure and viscosity share ONE 3-component pair
+      accumulator — μ (a scalar uniform) folds into the per-pair
+      viscosity coefficient, so both force terms scale by the common
+      m²/ρᵢ afterwards. Same candidate set, same per-pair term values;
+      only the summation/rounding order differs from the reference's
+      two-accumulator structure (VelPos.compute:91-105), at ~ULP scale.
+      Halves the force kernel's accumulator registers (6→3; ext 12→9)
+      and drops 3 selects+adds per candidate chunk. The one semantic
+      branch it cannot reproduce — ρᵢ ≤ 1e-6 uses the RAW sums with NO
+      μ on the viscosity part (VelPos.compute:101-105) — is counted
+      into the exactness certificate per row (never fires on calm
+      configs: the self-density term floors ρᵢ well above 1e-6).
     """
 
     rows_per_tile: int = 64
@@ -137,6 +149,7 @@ class PallasTuning(NamedTuple):
     bf16: bool = False
     flat: bool = True
     iki: bool = False
+    fuse_acc: bool = False
 
     @classmethod
     def from_env(cls) -> "PallasTuning":
@@ -165,6 +178,8 @@ class PallasTuning(NamedTuple):
                                  "1" if d.flat else "0") == "1",
             iki=_os.environ.get("SPH_PALLAS_IKI",
                                 "1" if d.iki else "0") == "1",
+            fuse_acc=_os.environ.get("SPH_PALLAS_FACC",
+                                     "1" if d.fuse_acc else "0") == "1",
         )
 
 
@@ -841,6 +856,7 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
     h = scal_ref[0, 0]
     gas_k = scal_ref[0, 1]
     rho0 = scal_ref[0, 2]
+    visc_mu = scal_ref[0, 4]
     h2 = h * h
     h6 = h2 * h2 * h2
     h9 = h6 * h2 * h
@@ -870,7 +886,10 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             rvz = rows[:, 5:6]
             rrho = rows[:, 6:7]
             press_i = gas_k * (rrho - rho0)
-            n_acc = 12 if use_ext else 6
+            if tune.fuse_acc:
+                n_acc = 9 if use_ext else 3
+            else:
+                n_acc = 12 if use_ext else 6
             acc = [jnp.zeros((tune.rows_per_tile, LANES), jnp.float32)
                    for _ in range(n_acc)]
         else:
@@ -943,15 +962,30 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             # are never real candidates (NaN cell -> out of bucket) and a
             # whole-term select discards them exactly
             pc = (press_i + press_j) * 0.5 * inv_rho * gwp
-            acc[0] = acc[0] + jnp.where(gate, pc * dxv, 0.0)
-            acc[1] = acc[1] + jnp.where(gate, pc * dyv, 0.0)
-            acc[2] = acc[2] + jnp.where(gate, pc * dzv, 0.0)
-            vc = gwv * inv_rho
-            acc[3] = acc[3] + jnp.where(gate, vc * (vjx - rvx), 0.0)
-            acc[4] = acc[4] + jnp.where(gate, vc * (vjy - rvy), 0.0)
-            acc[5] = acc[5] + jnp.where(gate, vc * (vjz - rvz), 0.0)
+            if tune.fuse_acc:
+                # μ folded per-pair: press + viscosity ride ONE
+                # accumulator triple and share the m²/ρᵢ post-scale —
+                # same term set, ~ULP reorder vs the reference's two
+                # accumulators (the ρᵢ ≤ ε raw-sum branch is certified
+                # by the caller instead)
+                vcm = gwv * inv_rho * visc_mu
+                acc[0] = acc[0] + jnp.where(
+                    gate, pc * dxv + vcm * (vjx - rvx), 0.0)
+                acc[1] = acc[1] + jnp.where(
+                    gate, pc * dyv + vcm * (vjy - rvy), 0.0)
+                acc[2] = acc[2] + jnp.where(
+                    gate, pc * dzv + vcm * (vjz - rvz), 0.0)
+            else:
+                acc[0] = acc[0] + jnp.where(gate, pc * dxv, 0.0)
+                acc[1] = acc[1] + jnp.where(gate, pc * dyv, 0.0)
+                acc[2] = acc[2] + jnp.where(gate, pc * dzv, 0.0)
+                vc = gwv * inv_rho
+                acc[3] = acc[3] + jnp.where(gate, vc * (vjx - rvx), 0.0)
+                acc[4] = acc[4] + jnp.where(gate, vc * (vjy - rvy), 0.0)
+                acc[5] = acc[5] + jnp.where(gate, vc * (vjz - rvz), 0.0)
 
             if use_ext:
+                xb = 3 if tune.fuse_acc else 6
                 # XSPH raw sum: 2/(rho_i+rho_j) W_poly6 (v_j - v_i)
                 # (eps and mass folded in outside the kernel)
                 d2 = h2 - r2
@@ -959,9 +993,11 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 denom = rrho + rho_j
                 xc = jnp.where(denom > EPSILON, 2.0, 0.0) \
                     / jnp.where(denom > EPSILON, denom, 1.0) * w6
-                acc[6] = acc[6] + jnp.where(gate, xc * (vjx - rvx), 0.0)
-                acc[7] = acc[7] + jnp.where(gate, xc * (vjy - rvy), 0.0)
-                acc[8] = acc[8] + jnp.where(gate, xc * (vjz - rvz), 0.0)
+                acc[xb] = acc[xb] + jnp.where(gate, xc * (vjx - rvx), 0.0)
+                acc[xb + 1] = acc[xb + 1] + jnp.where(
+                    gate, xc * (vjy - rvy), 0.0)
+                acc[xb + 2] = acc[xb + 2] + jnp.where(
+                    gate, xc * (vjz - rvz), 0.0)
                 # Monaghan PI raw sum: PI gwp d (alpha, m^2 folded
                 # outside; cs = sqrt(gas_k))
                 dvx2 = rvx - vjx
@@ -974,9 +1010,9 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 pi = jnp.where(pi_ok, -cs * mu, 0.0) \
                     / jnp.where(pi_ok, rho_bar, 1.0)
                 ac = pi * gwp
-                acc[9] = acc[9] + jnp.where(gate, ac * dxv, 0.0)
-                acc[10] = acc[10] + jnp.where(gate, ac * dyv, 0.0)
-                acc[11] = acc[11] + jnp.where(gate, ac * dzv, 0.0)
+                acc[xb + 3] = acc[xb + 3] + jnp.where(gate, ac * dxv, 0.0)
+                acc[xb + 4] = acc[xb + 4] + jnp.where(gate, ac * dyv, 0.0)
+                acc[xb + 5] = acc[xb + 5] + jnp.where(gate, ac * dzv, 0.0)
             return acc
 
         if maxc is not None:
@@ -1110,27 +1146,37 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
         i_ok = rrho > EPSILON
         safe = jnp.where(i_ok, rrho, 1.0)
         sp = mass * mass / safe
-        fpx = jnp.where(i_ok, sums[0] * sp, sums[0])
-        fpy = jnp.where(i_ok, sums[1] * sp, sums[1])
-        fpz = jnp.where(i_ok, sums[2] * sp, sums[2])
-        sv = visc * mass * mass / safe
-        fvx = jnp.where(i_ok, sums[3] * sv, sums[3])
-        fvy = jnp.where(i_ok, sums[4] * sv, sums[4])
-        fvz = jnp.where(i_ok, sums[5] * sv, sums[5])
-        ffx = fpx + fvx
-        ffy = fpy + fvy
-        ffz = fpz + fvz
+        if tune.fuse_acc:
+            # combined press+μ·visc sums share the m²/ρᵢ scale; the
+            # ρᵢ ≤ ε raw branch deviates by the folded μ (certified by
+            # the caller, fused_substep)
+            ffx = jnp.where(i_ok, sums[0] * sp, sums[0])
+            ffy = jnp.where(i_ok, sums[1] * sp, sums[1])
+            ffz = jnp.where(i_ok, sums[2] * sp, sums[2])
+            xb = 3
+        else:
+            fpx = jnp.where(i_ok, sums[0] * sp, sums[0])
+            fpy = jnp.where(i_ok, sums[1] * sp, sums[1])
+            fpz = jnp.where(i_ok, sums[2] * sp, sums[2])
+            sv = visc * mass * mass / safe
+            fvx = jnp.where(i_ok, sums[3] * sv, sums[3])
+            fvy = jnp.where(i_ok, sums[4] * sv, sums[4])
+            fvz = jnp.where(i_ok, sums[5] * sv, sums[5])
+            ffx = fpx + fvx
+            ffy = fpy + fvy
+            ffz = fpz + fvz
+            xb = 6
         if use_ext:
             # extension constants folded outside the pair sums
             # (ops/extensions.py semantics)
             xs = xsph_eps * mass
-            dvx = xs * sums[6]
-            dvy = xs * sums[7]
-            dvz = xs * sums[8]
+            dvx = xs * sums[xb]
+            dvy = xs * sums[xb + 1]
+            dvz = xs * sums[xb + 2]
             av = alpha_visc * mass * mass
-            ffx = ffx + av * sums[9]
-            ffy = ffy + av * sums[10]
-            ffz = ffz + av * sums[11]
+            ffx = ffx + av * sums[xb + 3]
+            ffy = ffy + av * sums[xb + 4]
+            ffz = ffz + av * sums[xb + 5]
         else:
             dvx = dvy = dvz = jnp.float32(0.0)
 
@@ -1415,29 +1461,43 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
                        frame.win_f, tiles_fr, counts_fr, rows,
                        _scal(phys), fields, use_ext=use_ext, n=n)
     flat = out.reshape(-1, OUT_LANES)[:n]
-    f_press = flat[:, 0:3]
-    f_vis = flat[:, 3:6]
 
     # final m^2/rho_i scaling, guarded (VelPos.compute:101-105)
     i_ok = (rho_s > EPSILON)[:, None]
     safe = jnp.where(rho_s > EPSILON, rho_s, 1.0)[:, None]
-    f_press = jnp.where(i_ok, f_press * (phys.mass * phys.mass / safe),
-                        f_press)
-    f_vis = jnp.where(i_ok,
-                      f_vis * (phys.viscosity * phys.mass * phys.mass / safe),
-                      f_vis)
+    if tune.fuse_acc:
+        comb = flat[:, 0:3]
+        f_fluid = jnp.where(i_ok, comb * (phys.mass * phys.mass / safe),
+                            comb)
+        # the raw (ρᵢ ≤ ε) branch carries the folded μ the reference
+        # does not apply — certify those rows (self-density floors ρᵢ on
+        # calm configs, so this never fires there)
+        clip_fr = clip_fr + jnp.sum(
+            ((rho_s <= EPSILON) & (frame.cid[:n] < r * r * r))
+            .astype(jnp.int32))
+        xb = 3
+    else:
+        f_press = flat[:, 0:3]
+        f_vis = flat[:, 3:6]
+        f_press = jnp.where(i_ok, f_press * (phys.mass * phys.mass / safe),
+                            f_press)
+        f_vis = jnp.where(
+            i_ok, f_vis * (phys.viscosity * phys.mass * phys.mass / safe),
+            f_vis)
+        f_fluid = f_press + f_vis
+        xb = 6
 
     xsph_dv = None
     f_ext = 0.0
     if use_ext:
         # fold the constants left out of the kernel's raw sums
-        xsph_dv = (jnp.float32(xsph) * phys.mass * flat[:, 6:9]
+        xsph_dv = (jnp.float32(xsph) * phys.mass * flat[:, xb:xb + 3]
                    if xsph != 0.0 else None)
         if alpha_visc != 0.0:
             f_ext = (jnp.float32(alpha_visc) * phys.mass * phys.mass
-                     * flat[:, 9:12])
+                     * flat[:, xb + 3:xb + 6])
 
-    return f_press + f_vis + f_ext, xsph_dv, clip_fr
+    return f_fluid + f_ext, xsph_dv, clip_fr
 
 
 def fields_from_rows(frame: SortedFrame, rows: jax.Array, n: int, r: int,
@@ -1519,6 +1579,16 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
     pos_s = rows.reshape(-1, N_FIELDS)[:n, 0:3]
     fields = fields_from_rows(frame, rows, n, r, tune, occ_hint)
     npad = padded_n(n, tune)
+    facc_cert = jnp.int32(0)
+    if tune.fuse_acc:
+        # rows whose stale ρᵢ ≤ ε take the reference's RAW-sum branch
+        # (VelPos.compute:101-105) where the folded μ deviates — count
+        # them (live rows only; slab dead-sentinel rows excluded).
+        # Never fires on calm configs: self-density floors ρᵢ.
+        sc_all = r * r * r if band is None else band[1] * r * r
+        rho_in = rows.reshape(-1, N_FIELDS)[:n, 6]
+        facc_cert = jnp.sum(((rho_in <= EPSILON)
+                             & (frame.cid[:n] < sc_all)).astype(jnp.int32))
     if tune.iki and tune.flat:
         # in-kernel worklist derivation: only the (cheap, gather-free)
         # fresh spans are computed in XLA; the per-substep start[] gather
@@ -1539,7 +1609,7 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
             s_slice, use_ext=use_ext)
         new_rows = out.reshape(npad // tune.rows_per_tile,
                                tune.rows_per_tile, N_FIELDS)
-        return new_rows, kcert + drift
+        return new_rows, kcert + drift + facc_cert
     tiles_fr, counts_fr, cert = fresh_force_intervals(frame, pos_s, n, r,
                                                       tune, band, occ_hint)
     new_rows = _call_kernel(
@@ -1549,4 +1619,4 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
         n=n, occ_hint=occ_hint)
     new_rows = new_rows.reshape(npad // tune.rows_per_tile,
                                 tune.rows_per_tile, N_FIELDS)
-    return new_rows, cert
+    return new_rows, cert + facc_cert

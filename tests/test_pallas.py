@@ -247,6 +247,60 @@ def test_fused_substep_matches_unfused_extensions():
     assert _cert(mf) == _cert(mu)
 
 
+@pytest.mark.parametrize("fused", [True, False])
+def test_fuse_acc_matches_separate_accumulators(fused):
+    """``PallasTuning.fuse_acc``: pressure + μ-folded viscosity share one
+    accumulator triple. Same candidate set and per-pair term values as the
+    separate-accumulator walk — only the summation/rounding order differs
+    (~ULP), so a calm multi-frame rollout must track the separate-acc run
+    to single-rounding tolerance with certificates still 0 (the ρᵢ ≤ ε
+    raw-sum branch it certifies never fires: self-density floors ρᵢ).
+    Spec: VelPos.compute:91-105."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    st_a = st_b = initial_state(CALM)
+    phys = PhysParams.from_config(CALM)
+    step_a = jax.jit(make_param_step(
+        CALM, neighbor="pallas",
+        pallas_tune=PallasTuning(fused=fused, fuse_acc=True)))
+    step_b = jax.jit(make_param_step(
+        CALM, neighbor="pallas",
+        pallas_tune=PallasTuning(fused=fused, fuse_acc=False)))
+    for _ in range(3):
+        st_a, ma = step_a(st_a, phys)
+        st_b, mb = step_b(st_b, phys)
+    np.testing.assert_allclose(np.asarray(st_a.pos), np.asarray(st_b.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_a.vel), np.asarray(st_b.vel),
+                               atol=1e-6)
+    assert _cert(ma) == _cert(mb) == 0
+    assert _ovf(ma) == _ovf(mb)
+
+
+def test_fuse_acc_matches_separate_accumulators_extensions():
+    """fuse_acc with the XSPH + artificial-viscosity extension sums: the
+    ext accumulators shift down to slots 3..8 but keep their own (raw)
+    sums and outside-the-kernel constant folds."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    cfg = CALM.replace(xsph=0.1, artificial_viscosity=0.05)
+    st = initial_state(cfg)
+    phys = PhysParams.from_config(cfg)
+    sa, ma = jax.jit(make_param_step(
+        cfg, neighbor="pallas",
+        pallas_tune=PallasTuning(fused=True, fuse_acc=True)))(st, phys)
+    sb, mb = jax.jit(make_param_step(
+        cfg, neighbor="pallas",
+        pallas_tune=PallasTuning(fused=True, fuse_acc=False)))(st, phys)
+    np.testing.assert_allclose(np.asarray(sa.pos), np.asarray(sb.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sa.vel), np.asarray(sb.vel),
+                               atol=1e-6)
+    assert _cert(ma) == _cert(mb)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("compact", [False, True])
 def test_bf16_candidate_fields_track_f32(compact):
