@@ -123,17 +123,17 @@ class PallasTuning(NamedTuple):
       work (scripts/probe_scalar_tpu.py). Identical walk and
       certificates; requires ``flat`` + ``fused``.
     * ``fuse_acc``: pressure and viscosity share ONE 3-component pair
-      accumulator — μ (a scalar uniform) folds into the per-pair
-      viscosity coefficient, so both force terms scale by the common
-      m²/ρᵢ afterwards. Same candidate set, same per-pair term values;
+      accumulator — the viscosity post-scale folds into the per-pair
+      viscosity coefficient as a PER-ROW factor (μ when ρᵢ > ε so both
+      terms share the common m²/ρᵢ scale; exactly 1.0 in the ρᵢ ≤ ε
+      raw-sum branch, VelPos.compute:101-105, where the reference adds
+      the two unscaled sums — so BOTH branches reproduce the reference
+      term-for-term). Same candidate set, same per-pair term values;
       only the summation/rounding order differs from the reference's
       two-accumulator structure (VelPos.compute:91-105), at ~ULP scale.
       Halves the force kernel's accumulator registers (6→3; ext 12→9)
-      and drops 3 selects+adds per candidate chunk. The one semantic
-      branch it cannot reproduce — ρᵢ ≤ 1e-6 uses the RAW sums with NO
-      μ on the viscosity part (VelPos.compute:101-105) — is counted
-      into the exactness certificate per row (never fires on calm
-      configs: the self-density term floors ρᵢ well above 1e-6).
+      and drops 3 selects+adds per candidate chunk: measured +7% at
+      262k golden, neutral-within-noise at 1M (scripts/probe_facc_tpu).
     """
 
     rows_per_tile: int = 64
@@ -888,6 +888,12 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             press_i = gas_k * (rrho - rho0)
             if tune.fuse_acc:
                 n_acc = 9 if use_ext else 3
+                # per-row viscosity fold factor: μ on the scaled branch
+                # (ρᵢ > ε shares the m²/ρᵢ post-scale), exactly 1.0 on
+                # the raw branch where the reference adds the two
+                # UNSCALED sums (VelPos.compute:101-105) — both branches
+                # reproduce the reference term-for-term
+                vmu_row = jnp.where(rrho > EPSILON, visc_mu, 1.0)
             else:
                 n_acc = 12 if use_ext else 6
             acc = [jnp.zeros((tune.rows_per_tile, LANES), jnp.float32)
@@ -963,12 +969,11 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             # whole-term select discards them exactly
             pc = (press_i + press_j) * 0.5 * inv_rho * gwp
             if tune.fuse_acc:
-                # μ folded per-pair: press + viscosity ride ONE
-                # accumulator triple and share the m²/ρᵢ post-scale —
-                # same term set, ~ULP reorder vs the reference's two
-                # accumulators (the ρᵢ ≤ ε raw-sum branch is certified
-                # by the caller instead)
-                vcm = gwv * inv_rho * visc_mu
+                # per-row-folded viscosity factor: press + viscosity
+                # ride ONE accumulator triple — same term set as the
+                # reference's two accumulators in BOTH ρᵢ branches,
+                # ~ULP summation reorder only
+                vcm = gwv * inv_rho * vmu_row
                 acc[0] = acc[0] + jnp.where(
                     gate, pc * dxv + vcm * (vjx - rvx), 0.0)
                 acc[1] = acc[1] + jnp.where(
@@ -1466,15 +1471,13 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     i_ok = (rho_s > EPSILON)[:, None]
     safe = jnp.where(rho_s > EPSILON, rho_s, 1.0)[:, None]
     if tune.fuse_acc:
+        # combined sums: press + μ·visc on the scaled branch, the raw
+        # press + visc total on the ρᵢ ≤ ε branch (the per-row fold in
+        # the kernel already used factor 1.0 there) — both branches
+        # reference-exact modulo summation order
         comb = flat[:, 0:3]
         f_fluid = jnp.where(i_ok, comb * (phys.mass * phys.mass / safe),
                             comb)
-        # the raw (ρᵢ ≤ ε) branch carries the folded μ the reference
-        # does not apply — certify those rows (self-density floors ρᵢ on
-        # calm configs, so this never fires there)
-        clip_fr = clip_fr + jnp.sum(
-            ((rho_s <= EPSILON) & (frame.cid[:n] < r * r * r))
-            .astype(jnp.int32))
         xb = 3
     else:
         f_press = flat[:, 0:3]
@@ -1579,16 +1582,6 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
     pos_s = rows.reshape(-1, N_FIELDS)[:n, 0:3]
     fields = fields_from_rows(frame, rows, n, r, tune, occ_hint)
     npad = padded_n(n, tune)
-    facc_cert = jnp.int32(0)
-    if tune.fuse_acc:
-        # rows whose stale ρᵢ ≤ ε take the reference's RAW-sum branch
-        # (VelPos.compute:101-105) where the folded μ deviates — count
-        # them (live rows only; slab dead-sentinel rows excluded).
-        # Never fires on calm configs: self-density floors ρᵢ.
-        sc_all = r * r * r if band is None else band[1] * r * r
-        rho_in = rows.reshape(-1, N_FIELDS)[:n, 6]
-        facc_cert = jnp.sum(((rho_in <= EPSILON)
-                             & (frame.cid[:n] < sc_all)).astype(jnp.int32))
     if tune.iki and tune.flat:
         # in-kernel worklist derivation: only the (cheap, gather-free)
         # fresh spans are computed in XLA; the per-substep start[] gather
@@ -1609,7 +1602,7 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
             s_slice, use_ext=use_ext)
         new_rows = out.reshape(npad // tune.rows_per_tile,
                                tune.rows_per_tile, N_FIELDS)
-        return new_rows, kcert + drift + facc_cert
+        return new_rows, kcert + drift
     tiles_fr, counts_fr, cert = fresh_force_intervals(frame, pos_s, n, r,
                                                       tune, band, occ_hint)
     new_rows = _call_kernel(
@@ -1619,4 +1612,4 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
         n=n, occ_hint=occ_hint)
     new_rows = new_rows.reshape(npad // tune.rows_per_tile,
                                 tune.rows_per_tile, N_FIELDS)
-    return new_rows, cert + facc_cert
+    return new_rows, cert

@@ -249,13 +249,14 @@ def test_fused_substep_matches_unfused_extensions():
 
 @pytest.mark.parametrize("fused", [True, False])
 def test_fuse_acc_matches_separate_accumulators(fused):
-    """``PallasTuning.fuse_acc``: pressure + μ-folded viscosity share one
-    accumulator triple. Same candidate set and per-pair term values as the
-    separate-accumulator walk — only the summation/rounding order differs
-    (~ULP), so a calm multi-frame rollout must track the separate-acc run
-    to single-rounding tolerance with certificates still 0 (the ρᵢ ≤ ε
-    raw-sum branch it certifies never fires: self-density floors ρᵢ).
-    Spec: VelPos.compute:91-105."""
+    """``PallasTuning.fuse_acc``: pressure + viscosity share one
+    accumulator triple via a PER-ROW viscosity fold (μ on the ρᵢ > ε
+    scaled branch, exactly 1.0 on the raw branch — both branches
+    reproduce the reference term-for-term). Same candidate set and
+    per-pair term values as the separate-accumulator walk — only the
+    summation/rounding order differs (~ULP), so a calm multi-frame
+    rollout must track the separate-acc run to single-rounding tolerance
+    with certificates unchanged. Spec: VelPos.compute:91-105."""
     from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
     from sphfluidsimulation_tpu.sim.stepper import make_param_step
 
