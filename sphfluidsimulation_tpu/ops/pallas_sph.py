@@ -134,6 +134,19 @@ class PallasTuning(NamedTuple):
       Halves the force kernel's accumulator registers (6→3; ext 12→9)
       and drops 3 selects+adds per candidate chunk: measured +7% at
       262k golden, neutral-within-noise at 1M (scripts/probe_facc_tpu).
+    * ``intcell``: candidate cells ride the window as a BIT-PACKED int32
+      (cx | cy<<10 | cz<<20, bitcast into the f32 lane; −1 keeps the
+      dropped-slot sentinel) instead of the raw flat id. The kernel's
+      27-window membership test becomes one int add + three base-1024
+      digit tests (~9 int ops) replacing the per-chunk f32 cell decode
+      (2 reciprocal-multiply floors) + 3-axis |Δ| ≤ 1 compare (~22 ops).
+      Gating outcomes are BIT-IDENTICAL: integer floor-division packing
+      equals the kernel's bias-corrected f32 decode for every integer
+      raw id (aliased ids included), digits cannot interfere (|Δdigit|
+      ≤ 259 < 1022, carry/borrow analysis in _pack_cell_int), and row
+      cells clamp to [−2, 258] only where every axis test is already
+      false. Not used by the v7 compact route (its kernels decode the
+      flat id in-kernel).
     """
 
     rows_per_tile: int = 64
@@ -150,6 +163,7 @@ class PallasTuning(NamedTuple):
     flat: bool = True
     iki: bool = False
     fuse_acc: bool = False
+    intcell: bool = False
 
     @classmethod
     def from_env(cls) -> "PallasTuning":
@@ -180,7 +194,15 @@ class PallasTuning(NamedTuple):
                                 "1" if d.iki else "0") == "1",
             fuse_acc=_os.environ.get("SPH_PALLAS_FACC",
                                      "1" if d.fuse_acc else "0") == "1",
+            intcell=_os.environ.get("SPH_PALLAS_INTCELL",
+                                    "1" if d.intcell else "0") == "1",
         )
+
+    @property
+    def use_intcell(self) -> bool:
+        """intcell applies to the v6/v8 kernels only — the v7 compact
+        route decodes the flat id in-kernel and keeps the old field."""
+        return self.intcell and not self.compact
 
 
 def default_tuning() -> PallasTuning:
@@ -704,8 +726,12 @@ def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     """
     npad = padded_n(n, tune)
     # candidates advertise their RAW cell — what the reference's bucket
-    # walk sees (aliased ids decode to far-away cells and contribute zero)
-    cid_enc = jnp.where(frame.occ, frame.raw, -1).astype(jnp.float32)
+    # walk sees (aliased ids decode to far-away cells and contribute zero);
+    # intcell mode pre-packs the digit encoding (bit-identical gating)
+    if tune.use_intcell:
+        cid_enc = _pack_cell_int(frame.raw, frame.occ, r)
+    else:
+        cid_enc = jnp.where(frame.occ, frame.raw, -1).astype(jnp.float32)
 
     def padf(a, fill):
         return jnp.pad(a, (0, npad - n), constant_values=fill)
@@ -778,6 +804,36 @@ def _decode_cell(cid, r: int):
     cy = jnp.floor((rem + 0.5) / r)
     cx = rem - cy * r
     return cx, cy, cz
+
+
+_CELL_BIAS = 1 + (1 << 10) + (1 << 20)   # +1 per base-1024 digit
+
+
+def _pack_cell_int(raw: jax.Array, occ: jax.Array, r: int) -> jax.Array:
+    """Reference raw flat id -> bit-packed cell digits, bitcast to f32.
+
+    enc = cx | cy<<10 | cz<<20 from the exact integer decode
+    (cz = raw // r², cy = rem // r, cx = rem % r) — identical to the
+    kernel's bias-corrected f32 :func:`_decode_cell` for every integer
+    raw ∈ [0, 2^22), aliased/out-of-range ids included (digits stay
+    ≤ ~r+1 ≤ 257 < 1024). Dropped slots keep the −1 sentinel (negative
+    int ⇒ the kernel's occ test rejects, exactly like cid_enc < 0).
+
+    The kernel tests membership as t = enc_j + (BIAS − enc_i) and
+    requires every base-1024 digit of t to be ≤ 2: digit k of t equals
+    (Δ_k + 1) exactly whenever all lower digits passed (a passing digit
+    is in {0,1,2}, so it neither borrows nor carries), and a failing
+    digit can never fake a pass because |Δ_k + 1| ≤ 260 — the wrap
+    values {1024±2, −1024±2} are unreachable.
+    """
+    rr = r * r
+    cz = raw // rr
+    rem = raw - cz * rr
+    cy = rem // r
+    cx = rem - cy * r
+    enc = cx + (cy << 10) + (cz << 20)
+    return jax.lax.bitcast_convert_type(
+        jnp.where(occ, enc, -1).astype(jnp.int32), jnp.float32)
 
 
 def _sph_kernel(n_lines: int, force: bool, r: int,
@@ -876,9 +932,22 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
         def _trunc(v):
             return v.astype(jnp.int32).astype(jnp.float32)
 
-        fx = _trunc(rx * (rf - 1.0))
-        fy = _trunc(ry * (rf - 1.0))
-        fz = _trunc(rz * (rf - 1.0))
+        if tune.use_intcell:
+            # int row key for the digit-packed membership test: the same
+            # trunc-cast cell, clamped to [-2, 258] — clamping only
+            # moves values for which every per-axis test is false either
+            # way (candidate digits are < 260), and keeps digit deltas
+            # small enough that base-1024 digits cannot interfere
+            def _icell(v):
+                return jnp.clip((v * (rf - 1.0)).astype(jnp.int32),
+                                -2, 258)
+
+            row_key = jnp.int32(_CELL_BIAS) - (
+                _icell(rx) + (_icell(ry) << 10) + (_icell(rz) << 20))
+        else:
+            fx = _trunc(rx * (rf - 1.0))
+            fy = _trunc(ry * (rf - 1.0))
+            fz = _trunc(rz * (rf - 1.0))
 
         if force:
             rvx = rows[:, 3:4]
@@ -913,15 +982,26 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             evaluates (VelPos.compute:77-82 walks only bucketed
             neighbors). A select discards the poisoned lanes exactly; NaN
             from REAL candidates still propagates faithfully."""
-            cxl, cyl, czl = _decode_cell(blk[3:4, :], r)
-            occ = blk[3:4, :] >= 0.0
             # pure fresh 27-window membership: each candidate appears
             # exactly once in the single window and the intervals are
             # disjoint, so no dedup key is needed
-            member = (occ
-                      & (jnp.abs(cxl - fx) <= 1.0)
-                      & (jnp.abs(cyl - fy) <= 1.0)
-                      & (jnp.abs(czl - fz) <= 1.0))
+            if tune.use_intcell:
+                # digit-packed test (see _pack_cell_int): one add + three
+                # base-1024 digit checks replace the f32 cell decode +
+                # per-axis compares — bit-identical gating
+                vj = jax.lax.bitcast_convert_type(blk[3:4, :], jnp.int32)
+                t = vj + row_key
+                member = ((vj >= 0)
+                          & ((t & 1023) <= 2)
+                          & (((t >> 10) & 1023) <= 2)
+                          & (((t >> 20) & 1023) <= 2))
+            else:
+                cxl, cyl, czl = _decode_cell(blk[3:4, :], r)
+                occ = blk[3:4, :] >= 0.0
+                member = (occ
+                          & (jnp.abs(cxl - fx) <= 1.0)
+                          & (jnp.abs(cyl - fy) <= 1.0)
+                          & (jnp.abs(czl - fz) <= 1.0))
             gate = member & lane_gate
 
             dxv = rx - blk[0:1, :]
@@ -1517,9 +1597,11 @@ def fields_from_rows(frame: SortedFrame, rows: jax.Array, n: int, r: int,
     npad = padded_n(n, tune)
     rows2 = rows.reshape(npad, N_FIELDS)
     pad = jnp.arange(npad, dtype=jnp.int32) >= n
-    cid_enc = jnp.pad(
-        jnp.where(frame.occ, frame.raw, -1).astype(jnp.float32),
-        (0, npad - n), constant_values=-1.0)
+    if tune.use_intcell:
+        enc = _pack_cell_int(frame.raw, frame.occ, r)
+    else:
+        enc = jnp.where(frame.occ, frame.raw, -1).astype(jnp.float32)
+    cid_enc = jnp.pad(enc, (0, npad - n), constant_values=-1.0)
     # field order of pack_fields: x, y, z, cid_enc, vx, vy, vz, rho —
     # rows lanes are x, y, z, vx, vy, vz, rho, aux (aux not a field)
     cols = [jnp.where(pad, 2.0, rows2[:, 0]),

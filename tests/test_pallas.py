@@ -302,6 +302,34 @@ def test_fuse_acc_matches_separate_accumulators_extensions():
     assert _cert(ma) == _cert(mb)
 
 
+@pytest.mark.parametrize("cfg", [CALM, GOLDENISH],
+                         ids=["calm", "goldenish"])
+def test_intcell_membership_bit_identical(cfg):
+    """``PallasTuning.intcell``: the digit-packed int membership test must
+    gate EXACTLY like the f32 cell decode + 3-axis compare — positions,
+    velocities, certificates and overflow all bit-identical, on both the
+    calm config and the violent goldenish one (frame-0 jitter overshoot
+    exercises aliased/out-of-range raw ids, Bucket.compute:27-29)."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    st_a = st_b = initial_state(cfg)
+    phys = PhysParams.from_config(cfg)
+    step_a = jax.jit(make_param_step(
+        cfg, neighbor="pallas", pallas_tune=PallasTuning(intcell=True)))
+    step_b = jax.jit(make_param_step(
+        cfg, neighbor="pallas", pallas_tune=PallasTuning(intcell=False)))
+    for _ in range(2):
+        st_a, ma = step_a(st_a, phys)
+        st_b, mb = step_b(st_b, phys)
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
+    np.testing.assert_array_equal(np.asarray(st_a.nan_count),
+                                  np.asarray(st_b.nan_count))
+    assert _cert(ma) == _cert(mb)
+    assert _ovf(ma) == _ovf(mb)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("compact", [False, True])
 def test_bf16_candidate_fields_track_f32(compact):
