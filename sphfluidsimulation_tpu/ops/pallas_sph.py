@@ -147,6 +147,18 @@ class PallasTuning(NamedTuple):
       cells clamp to [−2, 258] only where every axis test is already
       false. Not used by the v7 compact route (its kernels decode the
       flat id in-kernel).
+    * ``pj``: the force window carries PRECOMPUTED j-side values —
+      press_j = k·(ρⱼ−ρ₀) and the guarded reciprocal
+      inv_ρ = [ρⱼ>ε]/ρⱼ (VelPos.compute:86-91) — instead of ρⱼ,
+      computed once per particle per substep in XLA rather than once
+      per (tile, chunk) in-kernel: drops a subtract, a multiply, a
+      compare, two selects and the full vector DIVIDE from every
+      candidate chunk, for one extra window field (9 f32 / 8 bf16).
+      Same formulas and candidate set; results track at ~ulp (the
+      pre-rounded press_j removes an FMA-contraction the compiler takes
+      in-kernel — same deviation class as the banded-sites CPU pins).
+      Force window only; not composed with the extension sums (they
+      need raw ρⱼ) or the compact route.
     """
 
     rows_per_tile: int = 64
@@ -164,6 +176,7 @@ class PallasTuning(NamedTuple):
     iki: bool = False
     fuse_acc: bool = False
     intcell: bool = False
+    pj: bool = False
 
     @classmethod
     def from_env(cls) -> "PallasTuning":
@@ -196,6 +209,8 @@ class PallasTuning(NamedTuple):
                                      "1" if d.fuse_acc else "0") == "1",
             intcell=_os.environ.get("SPH_PALLAS_INTCELL",
                                     "1" if d.intcell else "0") == "1",
+            pj=_os.environ.get("SPH_PALLAS_PJ",
+                               "1" if d.pj else "0") == "1",
         )
 
     @property
@@ -204,22 +219,32 @@ class PallasTuning(NamedTuple):
         route decodes the flat id in-kernel and keeps the old field."""
         return self.intcell and not self.compact
 
+    def use_pj(self, use_ext: bool = False) -> bool:
+        """pj applies to v6/v8 force windows without extension sums
+        (XSPH/avisc need raw ρⱼ per pair)."""
+        return self.pj and not self.compact and not use_ext
+
 
 def default_tuning() -> PallasTuning:
     """Call-time default: env overrides resolved when used, not at import."""
     return PallasTuning.from_env()
 
 
-def n_window_fields(force: bool, tune: PallasTuning) -> int:
+def n_window_fields(force: bool, tune: PallasTuning,
+                    use_ext: bool = False) -> int:
     """Candidate-window field count for one pass.
 
     Density (Density.compute:42-54) reads only candidate positions and
     cells — its window DMAs 4 fields, not 8 (half the bytes, bit-identical
     result). The force window carries vel+rho too: 8 f32 fields, or 6
-    when ``tune.bf16`` pair-packs them.
+    when ``tune.bf16`` pair-packs them. Under ``tune.pj`` (non-ext) the
+    rho field is replaced by precomputed press_j + guarded 1/ρⱼ: 9 f32,
+    or 8 with bf16-packed velocity.
     """
     if not force:
         return 4
+    if tune.use_pj(use_ext):
+        return 8 if tune.bf16 else 9
     return 6 if tune.bf16 else 8
 
 
@@ -710,11 +735,23 @@ def fresh_force_intervals(frame: SortedFrame, pos_s: jax.Array, n: int,
     return tiles, counts, clipped + drift_cert
 
 
+def _pj_cols(rho: jax.Array, phys: PhysParams
+             ) -> tuple[jax.Array, jax.Array]:
+    """Precomputed j-side window values: press_j = k·(ρ−ρ₀) and the
+    guarded reciprocal [ρ>ε]/ρ — the same formulas the kernel otherwise
+    evaluates per (tile, chunk) (VelPos.compute:86-91)."""
+    press = phys.gas_constant * (rho - phys.rest_density)
+    ok = rho > EPSILON
+    inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, rho, 1.0)
+    return press, inv
+
+
 def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
                 rho_s: jax.Array, n: int, r: int,
                 tune: PallasTuning,
                 occ_hint: float | None = None, *,
-                force: bool = True) -> jax.Array:
+                force: bool = True, use_ext: bool = False,
+                phys: PhysParams | None = None) -> jax.Array:
     """Sorted SoA -> f32[n_wf, fields_rows(n, r), 128] field-major rows
     (lane = particle, n_wf = :func:`n_window_fields`).
 
@@ -722,7 +759,8 @@ def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
     (reproducing the capacity drop, Bucket.compute:30-35). Trailing guard
     rows keep the fixed-size window DMAs in-bounds. Density windows carry
     only the 4 position/cell fields; force windows add vel+rho (f32, or
-    bf16 pair-packed under ``tune.bf16``).
+    bf16 pair-packed under ``tune.bf16``), or vel+press+1/ρ under
+    ``tune.pj`` (``phys`` required then).
     """
     npad = padded_n(n, tune)
     # candidates advertise their RAW cell — what the reference's bucket
@@ -738,15 +776,24 @@ def pack_fields(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
 
     cols = [padf(pos_s[:, 0], 2.0), padf(pos_s[:, 1], 2.0),
             padf(pos_s[:, 2], 2.0), padf(cid_enc, -1.0)]
+    pj = force and tune.use_pj(use_ext)
     if force and tune.bf16:
         cols += [_pack_pair_bf16(padf(vel_s[:, 0], 0.0),
-                                 padf(vel_s[:, 1], 0.0)),
-                 _pack_pair_bf16(padf(vel_s[:, 2], 0.0),
-                                 padf(rho_s, 0.0))]
+                                 padf(vel_s[:, 1], 0.0))]
+        if pj:
+            cols += [padf(vel_s[:, 2], 0.0)]
+        else:
+            cols += [_pack_pair_bf16(padf(vel_s[:, 2], 0.0),
+                                     padf(rho_s, 0.0))]
     elif force:
         cols += [padf(vel_s[:, 0], 0.0), padf(vel_s[:, 1], 0.0),
-                 padf(vel_s[:, 2], 0.0), padf(rho_s, 0.0)]
-    n_wf = n_window_fields(force, tune)
+                 padf(vel_s[:, 2], 0.0)]
+        if not pj:
+            cols += [padf(rho_s, 0.0)]
+    if pj:
+        press, inv = _pj_cols(rho_s, phys)
+        cols += [padf(press, 0.0), padf(inv, 0.0)]
+    n_wf = n_window_fields(force, tune, use_ext)
     # FIELD-MAJOR [n_wf, NB, 128]: a pure reshape (no relayout —
     # transposing to row-major [NB, n_wf, 128] costs ~13 ms/substep at
     # 262k because the minor-dim-8 relayout runs at ~1 GB/s). The kernel
@@ -868,7 +915,8 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
     rf = jnp.float32(r)
     g = pl.program_id(0)
     slot = jax.lax.rem(g, 2)
-    n_wf = n_window_fields(force, tune)
+    n_wf = n_window_fields(force, tune, use_ext)
+    pj = force and tune.use_pj(use_ext)
 
     def _copies(slot_idx, wref):
         # one window DMA per field: HBM fields are field-major (pure
@@ -1016,17 +1064,31 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 acc[0] = acc[0] + jnp.where(gate, w, 0.0)
                 return acc
 
-            if tune.bf16:
-                vjx, vjy = unpack_pair_bf16(blk[4:5, :])
-                vjz, rho_j = unpack_pair_bf16(blk[5:6, :])
+            if pj:
+                # precomputed j-side press + guarded reciprocal ride the
+                # window (same formulas, evaluated in XLA per particle
+                # instead of per (tile, chunk) here)
+                if tune.bf16:
+                    vjx, vjy = unpack_pair_bf16(blk[4:5, :])
+                    vjz = blk[5:6, :]
+                    press_j = blk[6:7, :]
+                    inv_rho = blk[7:8, :]
+                else:
+                    vjx, vjy, vjz = blk[4:5, :], blk[5:6, :], blk[6:7, :]
+                    press_j = blk[7:8, :]
+                    inv_rho = blk[8:9, :]
             else:
-                vjx, vjy, vjz = blk[4:5, :], blk[5:6, :], blk[6:7, :]
-                rho_j = blk[7:8, :]
-            rho_ok = rho_j > EPSILON                  # VelPos.compute:91
-            # fold the rho guard into the (single) reciprocal: masked
-            # lanes get 1/rho == 0 and drop out of both force terms
-            inv_rho = jnp.where(rho_ok, 1.0, 0.0) / jnp.where(
-                rho_ok, rho_j, 1.0)
+                if tune.bf16:
+                    vjx, vjy = unpack_pair_bf16(blk[4:5, :])
+                    vjz, rho_j = unpack_pair_bf16(blk[5:6, :])
+                else:
+                    vjx, vjy, vjz = blk[4:5, :], blk[5:6, :], blk[6:7, :]
+                    rho_j = blk[7:8, :]
+                rho_ok = rho_j > EPSILON              # VelPos.compute:91
+                # fold the rho guard into the (single) reciprocal: masked
+                # lanes get 1/rho == 0 and drop out of both force terms
+                inv_rho = jnp.where(rho_ok, 1.0, 0.0) / jnp.where(
+                    rho_ok, rho_j, 1.0)
 
             # exact sqrt for |r| (diff_r = h - |r| suffers catastrophic
             # cancellation near the support edge, so |r| needs full
@@ -1040,7 +1102,8 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 0.0)
             gwv = jnp.where(abs_r < h, (c_grad / h6) * diff_r, 0.0)
 
-            press_j = gas_k * (rho_j - rho0)
+            if not pj:
+                press_j = gas_k * (rho_j - rho0)
             # whole-term selects: candidate positions are NOT provably
             # finite (vel = inf + -inf = NaN passes the acceleration-only
             # trap, VelPos.compute:143-150, and then pos goes NaN through
@@ -1312,7 +1375,7 @@ def _call_kernel(n_lines: int, force: bool, r: int, w_rows: int,
                  n: int | None = None, occ_hint: float | None = None):
     n_groups = win.shape[0] - 1
     out_lanes = N_FIELDS if fused else OUT_LANES
-    n_wf = n_window_fields(force, tune)
+    n_wf = n_window_fields(force, tune, use_ext)
     maxc = None
     if tune.flat:
         # flat worklist mode: tiles/counts arrive as the per-tile chunk
@@ -1409,7 +1472,7 @@ def _call_iki(r: int, n: int, tune: PallasTuning,
     """Fused force substep with IN-KERNEL worklist derivation (iki)."""
     n_groups = win.shape[0] - 1
     w_rows = window_rows(n, r, 2, E_X, tune, occ_hint)
-    n_wf = n_window_fields(True, tune)
+    n_wf = n_window_fields(True, tune, use_ext)
     line_cap = _line_cap(n, r, tune, occ_hint)
     maxc = N_LINES_DENS * line_cap
     kernel = functools.partial(_sph_kernel, N_LINES_DENS, True, r,
@@ -1537,7 +1600,8 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
         from . import pallas_compact
         return pallas_compact.forces_compact(
             frame, pos_s, vel_s, rho_s, phys, r, n, tune=tune)
-    fields = pack_fields(frame, pos_s, vel_s, rho_s, n, r, tune)
+    fields = pack_fields(frame, pos_s, vel_s, rho_s, n, r, tune,
+                         use_ext=use_ext, phys=phys)
     rows = pack_rows(pos_s, vel_s, rho_s, None, n, tune)
     tiles_fr, counts_fr, clip_fr = fresh_force_intervals(frame, pos_s, n, r,
                                                          tune)
@@ -1585,7 +1649,9 @@ def forces_pallas(frame: SortedFrame, pos_s: jax.Array, vel_s: jax.Array,
 
 def fields_from_rows(frame: SortedFrame, rows: jax.Array, n: int, r: int,
                      tune: PallasTuning,
-                     occ_hint: float | None = None) -> jax.Array:
+                     occ_hint: float | None = None, *,
+                     use_ext: bool = False,
+                     phys: PhysParams | None = None) -> jax.Array:
     """Field-major candidate array rebuilt from the rows state.
 
     The fused substep keeps particle state in the rows layout between
@@ -1608,17 +1674,25 @@ def fields_from_rows(frame: SortedFrame, rows: jax.Array, n: int, r: int,
             jnp.where(pad, 2.0, rows2[:, 1]),
             jnp.where(pad, 2.0, rows2[:, 2]),
             cid_enc]
+    pj = tune.use_pj(use_ext)
     if tune.bf16:
         cols += [_pack_pair_bf16(jnp.where(pad, 0.0, rows2[:, 3]),
-                                 jnp.where(pad, 0.0, rows2[:, 4])),
-                 _pack_pair_bf16(jnp.where(pad, 0.0, rows2[:, 5]),
-                                 jnp.where(pad, 0.0, rows2[:, 6]))]
+                                 jnp.where(pad, 0.0, rows2[:, 4]))]
+        if pj:
+            cols += [jnp.where(pad, 0.0, rows2[:, 5])]
+        else:
+            cols += [_pack_pair_bf16(jnp.where(pad, 0.0, rows2[:, 5]),
+                                     jnp.where(pad, 0.0, rows2[:, 6]))]
     else:
         cols += [jnp.where(pad, 0.0, rows2[:, 3]),
                  jnp.where(pad, 0.0, rows2[:, 4]),
-                 jnp.where(pad, 0.0, rows2[:, 5]),
-                 jnp.where(pad, 0.0, rows2[:, 6])]
-    n_wf = n_window_fields(True, tune)
+                 jnp.where(pad, 0.0, rows2[:, 5])]
+        if not pj:
+            cols += [jnp.where(pad, 0.0, rows2[:, 6])]
+    if pj:
+        press, inv = _pj_cols(jnp.where(pad, 0.0, rows2[:, 6]), phys)
+        cols += [press, inv]
+    n_wf = n_window_fields(True, tune, use_ext)
     fields = jnp.stack(cols, axis=0).reshape(n_wf, npad // LANES, LANES)
     n_guard = fields_rows(n, r, tune, occ_hint) - npad // LANES
     guard = jnp.zeros((n_wf, n_guard, LANES), jnp.float32)
@@ -1662,7 +1736,8 @@ def fused_substep(frame: SortedFrame, rows: jax.Array, phys: PhysParams,
             frame, rows, phys, r, n, xsph=xsph, alpha_visc=alpha_visc,
             tune=tune, band=band, occ_hint=occ_hint)
     pos_s = rows.reshape(-1, N_FIELDS)[:n, 0:3]
-    fields = fields_from_rows(frame, rows, n, r, tune, occ_hint)
+    fields = fields_from_rows(frame, rows, n, r, tune, occ_hint,
+                              use_ext=use_ext, phys=phys)
     npad = padded_n(n, tune)
     if tune.iki and tune.flat:
         # in-kernel worklist derivation: only the (cheap, gather-free)

@@ -330,6 +330,52 @@ def test_intcell_membership_bit_identical(cfg):
     assert _ovf(ma) == _ovf(mb)
 
 
+@pytest.mark.parametrize("cfg", [CALM, GOLDENISH],
+                         ids=["calm", "goldenish"])
+def test_pj_precomputed_window_tracks_in_kernel(cfg):
+    """``PallasTuning.pj``: press_j and the guarded 1/ρⱼ ride the window
+    precomputed in XLA. Same formulas and same candidate set, but the
+    pre-rounded press_j removes an FMA-contraction opportunity the
+    compiler takes in-kernel (press_i + k·(ρⱼ−ρ₀) fuses there), so
+    results track at single-rounding (~ulp) tolerance rather than
+    bit-exactly — the same deviation class as the banded-sites CPU
+    pins (tests/test_sites.py). Certificates and coverage identical.
+    Also composed with fuse_acc + intcell (the full measured stack)."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+    from sphfluidsimulation_tpu.sim.stepper import make_param_step
+
+    st_a = st_b = st_c = initial_state(cfg)
+    phys = PhysParams.from_config(cfg)
+    step_a = jax.jit(make_param_step(
+        cfg, neighbor="pallas", pallas_tune=PallasTuning(pj=True)))
+    step_b = jax.jit(make_param_step(
+        cfg, neighbor="pallas", pallas_tune=PallasTuning(pj=False)))
+    step_c = jax.jit(make_param_step(
+        cfg, neighbor="pallas",
+        pallas_tune=PallasTuning(pj=True, fuse_acc=True, intcell=True)))
+    for _ in range(2):
+        st_a, ma = step_a(st_a, phys)
+        st_b, mb = step_b(st_b, phys)
+        st_c, mc = step_c(st_c, phys)
+    if cfg is CALM:
+        np.testing.assert_allclose(np.asarray(st_a.pos),
+                                   np.asarray(st_b.pos), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_a.vel),
+                                   np.asarray(st_b.vel), atol=1e-6)
+        # ulp-scale trajectory forks can flip frame-2 certificates on the
+        # violent config, so the equality pins are calm-only
+        assert _cert(ma) == _cert(mb)
+        assert _ovf(ma) == _ovf(mb)
+    # full stack: fuse_acc reorders sums (~ULP) — tolerance-comparable
+    # only on the calm config (the violent one amplifies ulp reorders
+    # through overflow coin-flips within a frame; running it above is the
+    # crash/shape check)
+    if cfg is CALM:
+        np.testing.assert_allclose(np.asarray(st_c.pos),
+                                   np.asarray(st_b.pos), atol=1e-6)
+        assert _cert(mc) == _cert(mb)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("compact", [False, True])
 def test_bf16_candidate_fields_track_f32(compact):
