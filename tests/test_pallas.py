@@ -247,6 +247,7 @@ def test_fused_substep_matches_unfused_extensions():
     assert _cert(mf) == _cert(mu)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fused", [True, False])
 def test_fuse_acc_matches_separate_accumulators(fused):
     """``PallasTuning.fuse_acc``: pressure + viscosity share one
@@ -279,6 +280,7 @@ def test_fuse_acc_matches_separate_accumulators(fused):
     assert _ovf(ma) == _ovf(mb)
 
 
+@pytest.mark.slow
 def test_fuse_acc_matches_separate_accumulators_extensions():
     """fuse_acc with the XSPH + artificial-viscosity extension sums: the
     ext accumulators shift down to slots 3..8 but keep their own (raw)
@@ -302,6 +304,7 @@ def test_fuse_acc_matches_separate_accumulators_extensions():
     assert _cert(ma) == _cert(mb)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cfg", [CALM, GOLDENISH],
                          ids=["calm", "goldenish"])
 def test_intcell_membership_bit_identical(cfg):
@@ -330,6 +333,7 @@ def test_intcell_membership_bit_identical(cfg):
     assert _ovf(ma) == _ovf(mb)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cfg", [CALM, GOLDENISH],
                          ids=["calm", "goldenish"])
 def test_pj_precomputed_window_tracks_in_kernel(cfg):
