@@ -174,9 +174,9 @@ class PallasTuning(NamedTuple):
     bf16: bool = False
     flat: bool = True
     iki: bool = False
-    fuse_acc: bool = False
-    intcell: bool = False
-    pj: bool = False
+    fuse_acc: bool = True
+    intcell: bool = True
+    pj: bool = True
 
     @classmethod
     def from_env(cls) -> "PallasTuning":
