@@ -19,8 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from probe_compact_tpu import BENCH_SRC, wait_tpu  # noqa: E402
 
 PJ = {"SPH_PALLAS_PJ": "1"}
+# NOTE: intcell is deliberately NOT in the stack — compiled Mosaic
+# produces wrong memberships on the v5e (see PallasTuning docstring);
+# stages that measured with it on are quoted as tainted in BENCH_NOTES.
 STACK = {"SPH_PALLAS_PJ": "1", "SPH_PALLAS_FACC": "1",
-         "SPH_PALLAS_INTCELL": "1"}
+         "SPH_PALLAS_INTCELL": "0"}
 
 
 def main():

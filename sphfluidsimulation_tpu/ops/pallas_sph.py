@@ -146,7 +146,12 @@ class PallasTuning(NamedTuple):
       ≤ 259 < 1022, carry/borrow analysis in _pack_cell_int), and row
       cells clamp to [−2, 258] only where every axis test is already
       false. Not used by the v7 compact route (its kernels decode the
-      flat id in-kernel).
+      flat id in-kernel). **OFF by default: compiled Mosaic produces
+      wrong memberships on the real v5e (TPU smoke maxerr 0.86 vs
+      slotted, nonzero calm certs) while interpret mode is bit-exact —
+      an in-kernel int-op miscompile under investigation
+      (scripts/probe_intops_tpu.py). Do not enable on TPU until the
+      smoke passes with it on.**
     * ``pj``: the force window carries PRECOMPUTED j-side values —
       press_j = k·(ρⱼ−ρ₀) and the guarded reciprocal
       inv_ρ = [ρⱼ>ε]/ρⱼ (VelPos.compute:86-91) — instead of ρⱼ,
@@ -175,7 +180,7 @@ class PallasTuning(NamedTuple):
     flat: bool = True
     iki: bool = False
     fuse_acc: bool = True
-    intcell: bool = True
+    intcell: bool = False   # TPU miscompile under investigation — see below
     pj: bool = True
 
     @classmethod
@@ -965,6 +970,10 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
     h6 = h2 * h2 * h2
     h9 = h6 * h2 * h
     c_poly6 = jnp.float32(315.0 / (64.0 * _PI))
+    # hoisted scalar: c·d³/h9 per chunk was a VECTOR-by-scalar divide
+    # (Mosaic does not re-associate f32); (c/h9)·d³ is one scalar divide
+    # per kernel + a vector multiply — ~ulp reorder (same class as pj)
+    c9 = c_poly6 / h9
     c_grad = jnp.float32(45.0 / _PI)
     cs = jnp.sqrt(gas_k)
 
@@ -1059,8 +1068,7 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
 
             if not force:
                 diff = h2 - r2
-                w = jnp.where(diff > 0, c_poly6 * diff * diff * diff / h9,
-                              0.0)
+                w = jnp.where(diff > 0, c9 * diff * diff * diff, 0.0)
                 acc[0] = acc[0] + jnp.where(gate, w, 0.0)
                 return acc
 
@@ -1137,7 +1145,7 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 # XSPH raw sum: 2/(rho_i+rho_j) W_poly6 (v_j - v_i)
                 # (eps and mass folded in outside the kernel)
                 d2 = h2 - r2
-                w6 = jnp.where(d2 > 0, c_poly6 * d2 * d2 * d2 / h9, 0.0)
+                w6 = jnp.where(d2 > 0, c9 * d2 * d2 * d2, 0.0)
                 denom = rrho + rho_j
                 xc = jnp.where(denom > EPSILON, 2.0, 0.0) \
                     / jnp.where(denom > EPSILON, denom, 1.0) * w6
