@@ -1,10 +1,23 @@
 #!/usr/bin/env python
-"""Driver benchmark entry: prints ONE JSON line.
+"""Driver benchmark entry: ALWAYS prints ONE JSON line, within a deadline.
 
 Measures particle-substeps/sec/chip on the canonical dam-break (the
-reference's only shipped workload, scaled per BASELINE.md). Falls back to
-smaller particle counts if the large config cannot run (the tunneled TPU
-worker has limited memory/stability), and always prints a single JSON line.
+reference's only shipped workload, scaled per BASELINE.md).
+
+Budget discipline (round-4 redesign after BENCH_r03 rc=124):
+the driver kills this process at an unknown wall timeout, so the script
+runs under ONE global deadline (SPH_BENCH_DEADLINE, default 840 s) and
+banks results incrementally:
+
+  1. capped TPU recovery wait (<= 240 s, not the old 2400 s)
+  2. BANKING stage: 262k x 10 frames -- a number in hand in minutes
+  3. headline stage: 1M x 20 frames (comparable to BENCH_r01-r03)
+  4. steady-state window at 1M (roll deeper, time a late window)
+  5. 2M ladder attempt (BASELINE metric range is 64k-4M)
+
+At the deadline (or when any stage fails), the best banked result is
+printed and the process exits 0. A stage is never armed with more time
+than remains before the deadline.
 """
 
 import json
@@ -14,38 +27,56 @@ import sys
 import time
 import traceback
 
+T0 = time.time()
+DEADLINE = float(os.environ.get("SPH_BENCH_DEADLINE", "840"))
+MARGIN = 25.0  # seconds reserved for the final print + exit
+
 
 class _StageTimeout(Exception):
     pass
 
 
-def _arm(seconds: int) -> None:
-    """In-flight axon dispatches hang forever when the TPU worker crashes;
-    an alarm turns the hang into a fallback."""
+def _remaining() -> float:
+    return DEADLINE - (time.time() - T0) - MARGIN
+
+
+def _arm(seconds: float) -> bool:
+    """Arm SIGALRM for min(seconds, time-to-deadline); False if no time.
+
+    In-flight axon dispatches hang forever when the TPU worker crashes;
+    the alarm turns the hang into a fallback instead of an rc=124.
+    """
+    budget = min(float(seconds), _remaining())
+    if budget <= 1.0:
+        return False
+
     def on_alarm(*a):
         raise _StageTimeout("stage timed out")
 
     signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(seconds)
+    signal.alarm(max(1, int(budget)))
+    return True
 
 
-def _wait_tpu_recovery(max_wait: float = 2400.0) -> None:
-    """After a 'TPU worker process crashed', the tunnel needs up to ~40
-    minutes to recover; retry until the device answers.
+def _disarm() -> None:
+    signal.alarm(0)
 
-    Ready == a FRESH (cache-busted) Mosaic compile succeeds: plain
-    dispatches recover well before the remote tpu_compile_helper fleet
-    does, and a broken helper 500s every real pallas compile while
-    ``jnp.sum`` happily runs."""
+
+def _wait_tpu_recovery(max_wait: float = 240.0) -> bool:
+    """Bounded wait for the TPU worker; True once a FRESH (cache-busted)
+    Mosaic compile succeeds (plain dispatches recover before the remote
+    tpu_compile_helper fleet does, and a broken helper 500s every real
+    pallas compile while ``jnp.sum`` happily runs)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     t0 = time.time()
     attempt = 0
-    while time.time() - t0 < max_wait:
+    while time.time() - t0 < max_wait and _remaining() > 30:
         try:
-            _arm(240)
+            if not _arm(min(180, max_wait)):
+                return False
             c = jnp.float32((int(time.time()) % 100000) + attempt)
 
             def _k(x_ref, o_ref, c=c):
@@ -54,49 +85,106 @@ def _wait_tpu_recovery(max_wait: float = 2400.0) -> None:
             f = pl.pallas_call(_k, out_shape=jax.ShapeDtypeStruct(
                 (8, 128), jnp.float32))
             y = float(jnp.sum(f(jnp.ones((8, 128), jnp.float32))))
-            signal.alarm(0)
+            _disarm()
             assert y == y  # finite dispatch completed
-            return
+            return True
         except Exception:  # noqa: BLE001
-            signal.alarm(0)
+            _disarm()
             attempt += 1
-            time.sleep(30)
+            time.sleep(min(20.0, max(1.0, _remaining() - 5)))
+    return False
+
+
+def _emit(best: dict | None, last_err: str | None) -> None:
+    if best is None:
+        best = {
+            "metric": "particle-substeps/sec/chip (dam-break, faithful mode)",
+            "value": 0.0,
+            "unit": "particle-substeps/s",
+            "vs_baseline": 0.0,
+            "error": last_err or "no stage completed within deadline",
+        }
+    best["bench_wall_s"] = round(time.time() - T0, 1)
+    print(json.dumps(best), flush=True)
+    os._exit(0)  # skip axon teardown (can crash the TPU worker)
 
 
 def main() -> int:
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
-    from sphfluidsimulation_tpu.bench import run_bench
-    from sphfluidsimulation_tpu.utils.compcache import enable_compilation_cache
-    enable_compilation_cache()
 
-    last_err = None
-    _wait_tpu_recovery()  # a previous driver step may have crashed the worker
-    for n, frames, neighbor, kcap, budget in (
-            (1 << 20, 20, "pallas", None, 1800),
-            (1 << 18, 20, "pallas", None, 1200),
-            (1 << 18, 20, "sites", 16, 1200),
-            (1 << 16, 30, "slotted", None, 1200)):
+    best: dict | None = None
+    banked: dict[str, dict] = {}
+    last_err: str | None = None
+
+    # Hard backstop: whatever happens, print before the deadline. SIGALRM
+    # is re-armed per stage below; this initial arm covers the imports and
+    # backend init, which themselves hang when the tunnel is down.
+    try:
+        if not _arm(_remaining()):
+            _emit(None, "no time at start")
+        from sphfluidsimulation_tpu.bench import run_bench
+        from sphfluidsimulation_tpu.utils.compcache import (
+            enable_compilation_cache)
+        enable_compilation_cache()
+        _disarm()
+    except Exception as e:  # noqa: BLE001
+        _disarm()
+        _emit(None, f"import/init: {type(e).__name__}: {e}")
+
+    if not _wait_tpu_recovery():
+        _emit(None, "TPU worker did not answer within the recovery budget")
+
+    # (name, kwargs, stage_budget_s). Ordered cheapest-first so a number
+    # is banked early; later stages only improve the artifact.
+    stages = (
+        ("bank_262k", dict(n_particles=1 << 18, frames=10, warmup_frames=3,
+                           neighbor="pallas"), 330),
+        ("headline_1m", dict(n_particles=1 << 20, frames=20, warmup_frames=5,
+                             neighbor="pallas"), 420),
+        ("steady_1m", dict(n_particles=1 << 20, frames=20, warmup_frames=5,
+                           neighbor="pallas", steady_frames=80), 420),
+        ("ladder_2m", dict(n_particles=1 << 21, frames=10, warmup_frames=3,
+                           neighbor="pallas"), 360),
+    )
+    for name, kwargs, budget in stages:
+        if _remaining() < 60:
+            break
+        # the steady-state stage rides on the headline stage's success;
+        # don't attempt it cold after a headline failure
+        if name == "steady_1m" and "headline_1m" not in banked:
+            continue
         try:
-            _arm(budget)
-            result = run_bench(n_particles=n, frames=frames,
-                               neighbor=neighbor, site_capacity=kcap)
-            signal.alarm(0)
-            print(json.dumps(result), flush=True)
-            os._exit(0)  # skip axon teardown (can crash the TPU worker)
-        except Exception as e:  # noqa: BLE001 — must always emit one line
-            signal.alarm(0)
-            last_err = f"{type(e).__name__}: {e}"
+            if not _arm(budget):
+                break
+            result = run_bench(**kwargs)
+            _disarm()
+            banked[name] = result
+        except Exception as e:  # noqa: BLE001
+            _disarm()
+            last_err = f"{name}: {type(e).__name__}: {e}"
             traceback.print_exc(file=sys.stderr)
-            _wait_tpu_recovery()
+            if _remaining() > 150 and name != stages[-1][0]:
+                _wait_tpu_recovery(max_wait=min(120, _remaining() - 90))
 
-    print(json.dumps({
-        "metric": "particle-substeps/sec/chip (dam-break, faithful mode)",
-        "value": 0.0,
-        "unit": "particle-substeps/s",
-        "vs_baseline": 0.0,
-        "error": last_err,
-    }), flush=True)
-    os._exit(0)
+    # Headline preference: the 1M spawn-window number (comparable to
+    # r01-r03), annotated with whatever else was banked.
+    best = (banked.get("headline_1m") or banked.get("bank_262k")
+            or banked.get("ladder_2m"))
+    if best is not None:
+        if "steady_1m" in banked:
+            s = banked["steady_1m"]
+            best["steady_state_value"] = s.get("steady_state_value")
+            best["steady_state_frames_window"] = s.get(
+                "steady_state_frames_window")
+        if "ladder_2m" in banked:
+            best["ladder_2m_value"] = banked["ladder_2m"]["value"]
+        if "bank_262k" in banked and best.get("n_particles") != (1 << 18):
+            best["value_262k"] = banked["bank_262k"]["value"]
+        best["stages_completed"] = sorted(banked)
+        if last_err:
+            best["last_stage_error"] = last_err
+    _emit(best, last_err)
+    return 0
 
 
 if __name__ == "__main__":

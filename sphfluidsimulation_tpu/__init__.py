@@ -16,6 +16,7 @@ from .models.scene import Scene  # noqa: F401
 from .sim.stepper import (  # noqa: F401
     initial_state,
     integrate_substep,
+    make_dt_rollout,
     make_frame_step,
     make_param_step,
     make_rollout,

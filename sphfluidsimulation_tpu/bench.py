@@ -79,7 +79,7 @@ def scaled_config(n_particles: int,
 def run_bench(n_particles: int = 1 << 20, frames: int = 20,
               warmup_frames: int = 5, neighbor: str = "pallas",
               site_capacity: int | None = None, pallas_tune=None,
-              host_loop: bool = False) -> dict:
+              host_loop: bool = False, steady_frames: int = 0) -> dict:
     from .ops.pallas_sph import default_tuning
     tune = pallas_tune or default_tuning()
     cfg = scaled_config(n_particles, site_capacity)
@@ -110,12 +110,39 @@ def run_bench(n_particles: int = 1 << 20, frames: int = 20,
         device_sync(out[0].pos)
         elapsed = time.perf_counter() - t0
 
+    # Steady-state window (VERDICT r3 item 5): frame cost grows ~466->615
+    # ms/frame over the first ~130 frames at 1M as the dam evolves
+    # (scripts/probe_framecost_tpu.py), so the spawn-window headline is
+    # optimistic. Reuse the already-compiled rollout to roll deeper and
+    # time one late window.
+    steady = None
+    if steady_frames and not host_loop:
+        frame0 = warmup_frames + 2 * frames  # frames already simulated
+        reps = max(1, steady_frames // frames)
+        st = out[0]
+        for _ in range(reps - 1):
+            st = roll(st)[0]
+        device_sync(st.pos)
+        t0 = time.perf_counter()
+        out = roll(st)
+        device_sync(out[0].pos)
+        s_elapsed = time.perf_counter() - t0
+        w0 = frame0 + (reps - 1) * frames
+        steady = {
+            "steady_state_value": round(
+                cfg.n_particles * cfg.substeps * frames / s_elapsed, 1),
+            "steady_state_frames_window": [w0, w0 + frames],
+            "steady_state_elapsed_s": round(s_elapsed, 3),
+        }
+
     import jax.numpy as jnp
     m = out[1]
     cert = int(jnp.sum(m.exact_cert))
     ovf = int(jnp.max(m.overflow))
     rate = cfg.n_particles * cfg.substeps * frames / elapsed
+    extra = steady or {}
     return {
+        **extra,
         "metric": "particle-substeps/sec/chip (dam-break, faithful mode)",
         "value": round(rate, 1),
         "unit": "particle-substeps/s",

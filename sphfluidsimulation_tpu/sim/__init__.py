@@ -1,1 +1,2 @@
-from .stepper import make_frame_step, make_rollout, integrate_substep  # noqa: F401
+from .stepper import (make_dt_rollout, make_frame_step, make_rollout,  # noqa: F401
+                      integrate_substep)

@@ -515,6 +515,56 @@ def _make_pallas_rollout(cfg: SimConfig, n_frames: int,
     return rollout
 
 
+def make_dt_rollout(cfg: SimConfig, n_frames: int, *,
+                    neighbor: str = "slotted", faithful: bool = True,
+                    snapshot_every: int = 0, pallas_tune=None):
+    """Variable frame-dt rollout: ``(state, dt_schedule) → (state, metrics)``.
+
+    The reference's timestep is frame-rate-dependent — each substep advances
+    ``Time.deltaTime / 25`` (SphFluidSimulation.cs:101-102) — so a faithful
+    replay of a recorded session needs a PER-FRAME dt sequence, not the fixed
+    ``frame_dt`` that `make_rollout` bakes for determinism (config.py:76-81).
+    ``dt_schedule`` is ``f32[n_frames]`` of FRAME deltas (Unity's
+    ``Time.deltaTime``); each frame's substep dt is
+    ``dt_schedule[f] / substep_divisor``. All other physics ride the config.
+
+    Bit-equal to stepping frame-by-frame through ``make_param_step`` with
+    ``phys._replace(dt=dt_f / divisor)`` per call (pinned in
+    tests/test_rollout.py).
+    """
+    if snapshot_every < 0 or (snapshot_every and n_frames % snapshot_every):
+        raise ValueError("snapshot_every must be 0 or divide n_frames")
+    cfg = cfg.validate()
+    param_step = make_param_step(cfg, neighbor=neighbor, faithful=faithful,
+                                 pallas_tune=pallas_tune)
+    base = PhysParams.from_config(cfg)
+    div = jnp.float32(cfg.substep_divisor)
+
+    def body(state, dt):
+        st, m = param_step(state, base._replace(dt=dt / div))
+        out = (m, st.pos) if snapshot_every == 1 else (m,)
+        return st, out
+
+    def chunk_body(state, dts):
+        state, (m,) = jax.lax.scan(body, state, dts)
+        return state, (m, state.pos)
+
+    @jax.jit
+    def rollout(state: ParticleState, dt_schedule: jax.Array):
+        dts = jnp.asarray(dt_schedule, jnp.float32).reshape(n_frames)
+        if snapshot_every > 1:
+            final, (m, snaps) = jax.lax.scan(
+                chunk_body, state,
+                dts.reshape(n_frames // snapshot_every, snapshot_every))
+            m = jax.tree.map(lambda x: x.reshape((n_frames,) + x.shape[2:]),
+                             m)
+            return final, m, snaps
+        final, outs = jax.lax.scan(body, state, dts)
+        return (final,) + tuple(outs)
+
+    return rollout
+
+
 def make_rollout(cfg: SimConfig, n_frames: int, *, neighbor: str = "slotted",
                  faithful: bool = True, snapshot_every: int = 0,
                  pallas_tune=None, scan_unroll: bool = False):
@@ -528,6 +578,9 @@ def make_rollout(cfg: SimConfig, n_frames: int, *, neighbor: str = "slotted",
     ``scan_unroll`` unrolls the pallas rollout's per-frame substep scan
     (+1.5-2% measured, compiled-bit-identical; CPU-interpret re-fusion can
     shift 1 ulp, so it is opt-in — bench.py enables it).
+
+    For the reference's frame-rate-dependent timestep (a recorded
+    ``Time.deltaTime`` trace), see :func:`make_dt_rollout`.
     """
     if snapshot_every < 0 or (snapshot_every and n_frames % snapshot_every):
         raise ValueError("snapshot_every must be 0 or divide n_frames")

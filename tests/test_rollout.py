@@ -119,3 +119,73 @@ def test_deterministic_rollout():
     b = Scene(CFG); b.step(4)
     np.testing.assert_array_equal(np.asarray(a.state.pos),
                                   np.asarray(b.state.pos))
+
+
+def test_dt_schedule_rollout_matches_per_frame_stepping():
+    # Faithful variable-dt mode (SphFluidSimulation.cs:101-102: substep dt
+    # is Time.deltaTime/25, frame-rate-dependent). Rolling a non-constant
+    # recorded dt trace must reproduce stepping frame-by-frame with per-call
+    # PhysParams carrying each frame's dt. Tolerance, not bit-equality,
+    # across the two COMPILATIONS: XLA re-fuses the substep chain
+    # differently inside a frame-scan body than in a standalone jit (the
+    # same 1-ulp class documented for scan_unroll, stepper.py) — the
+    # bitwise contract that does hold is split-trace resume, pinned below.
+    from sphfluidsimulation_tpu.params import PhysParams
+    from sphfluidsimulation_tpu.sim.stepper import (make_dt_rollout,
+                                                    make_param_step)
+
+    state0 = initial_state(CFG)
+    # a jittery 120-480 FPS trace (calm enough that the golden EOS does
+    # not explode, so velocity magnitudes stay comparable)
+    dts = np.array([1 / 240, 1 / 120, 1 / 360, 1 / 180, 1 / 480, 1 / 240],
+                   np.float32)
+
+    roll = make_dt_rollout(CFG, len(dts))
+    final, metrics = roll(state0, jnp.asarray(dts))
+
+    step = jax.jit(make_param_step(CFG))
+    base = PhysParams.from_config(CFG)
+    s = state0
+    for dt in dts:
+        s, _ = step(s, base._replace(
+            dt=jnp.float32(dt) / jnp.float32(CFG.substep_divisor)))
+
+    np.testing.assert_allclose(np.asarray(final.pos), np.asarray(s.pos),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(final.vel), np.asarray(s.vel),
+                               rtol=1e-4, atol=1e-4)
+    assert metrics.max_speed.shape == (len(dts),)
+
+
+def test_dt_schedule_split_trace_is_bit_equal():
+    # Resume property: rolling a 6-frame dt trace in one call is BIT-EQUAL
+    # to rolling 3 + 3 with the final state carried across — the scan body
+    # is one compiled computation regardless of trip count, so recorded
+    # traces can be replayed in checkpointed chunks without drift.
+    from sphfluidsimulation_tpu.sim.stepper import make_dt_rollout
+
+    state0 = initial_state(CFG)
+    dts = np.array([1 / 60, 1 / 30, 1 / 90, 1 / 45, 1 / 120, 1 / 60],
+                   np.float32)
+    f6, _ = make_dt_rollout(CFG, 6)(state0, jnp.asarray(dts))
+    r3 = make_dt_rollout(CFG, 3)
+    mid, _ = r3(state0, jnp.asarray(dts[:3]))
+    f33, _ = r3(mid, jnp.asarray(dts[3:]))
+    np.testing.assert_array_equal(np.asarray(f6.pos), np.asarray(f33.pos))
+    np.testing.assert_array_equal(np.asarray(f6.vel), np.asarray(f33.vel))
+
+
+def test_dt_schedule_constant_matches_fixed_rollout():
+    # a constant schedule at the config's frame_dt reproduces the fixed-dt
+    # rollout (ulp-class tolerance: the fixed rollout bakes dt as an XLA
+    # constant, the dt rollout traces it — folding differs)
+    from sphfluidsimulation_tpu.sim.stepper import make_dt_rollout
+
+    state0 = initial_state(CFG)
+    n = 4
+    roll_fixed = make_rollout(CFG, n)
+    f1, _ = roll_fixed(state0)
+    roll_dt = make_dt_rollout(CFG, n)
+    f2, _ = roll_dt(state0, jnp.full((n,), CFG.frame_dt, jnp.float32))
+    np.testing.assert_allclose(np.asarray(f1.pos), np.asarray(f2.pos),
+                               atol=2e-6)
