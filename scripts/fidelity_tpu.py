@@ -106,6 +106,8 @@ def main():
         _part_b3(np)
     if only in ("all", "c"):
         _part_c(np)
+    if only in ("all", "e"):
+        _part_e(np)
 
 
 def _part_b3(np):
@@ -265,6 +267,57 @@ def _part_c(np):
         got, stats = rollout_checkpoints(cfg, nb, st, max_chunk=45)
         print(json.dumps({
             "part": "golden65k", "backend": nb,
+            "rmse": {str(k): rmse(got[k], ref[k]) for k in CHECKPOINTS},
+            **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
+
+
+def _calm_scaled(n: int):
+    """Part-A calm physics scaled to ``n`` particles.
+
+    Calmness is an occupancy property: Part A's config (N=1024, R=11,
+    h=0.1) sits at ~0.77 particles/cell where the EOS stays bounded.
+    Scaling R−1 ∝ N^(1/3) preserves occupancy, and since mass =
+    fill/N (SphFluidSimulation.cs:176) and W ∝ 1/h³, densities — and
+    therefore the whole force field — stay in the same calm regime at
+    any N. All other knobs are Part A's exactly.
+    """
+    from sphfluidsimulation_tpu.config import SimConfig
+
+    r = int(round(1 + 10 * (n / 1024) ** (1.0 / 3.0)))
+    return SimConfig(particle_number=n, bucket_resolution=r, preset=0,
+                     gas_constant=20.0, rest_density=1.7, viscosity=0.05,
+                     stiffness_coefficient=1000.0, frame_dt=1 / 240)
+
+
+def _part_e(np):
+    """Calm-config 1000-frame oracle tracking at 65k and 262k (round 4).
+
+    Part A proved pallas tracks the brute oracle to 1.9e-5 @1000 with
+    cert 0 — at 1024 particles only. This scales the SAME calm physics
+    to flagship sizes. Oracle = slotted: brute is O(N²)-infeasible at
+    262k, and slotted is brute-equal at small N (tests/test_equivalence)
+    and brute-tracking on Part A itself; pins in chunks (long slotted
+    scans at scale can fault the tunneled worker).
+    """
+    from sphfluidsimulation_tpu.sim.stepper import initial_state
+
+    legs = sys.argv[2:] or ["65536", "262144"]
+    for ns in legs:
+        n = int(ns)
+        cfg = _calm_scaled(n)
+        st = initial_state(cfg)
+        t0 = time.time()
+        _alarm(3300)
+        ref, stats = rollout_checkpoints(cfg, "slotted", st, max_chunk=20)
+        print(json.dumps({"part": f"calm{n}", "backend": "slotted(pin)",
+                          "r": cfg.bucket_resolution, **stats,
+                          "wall_s": round(time.time() - t0, 1)}),
+              flush=True)
+        t0 = time.time()
+        _alarm(3300)
+        got, stats = rollout_checkpoints(cfg, "pallas", st, max_chunk=50)
+        print(json.dumps({
+            "part": f"calm{n}", "backend": "pallas",
             "rmse": {str(k): rmse(got[k], ref[k]) for k in CHECKPOINTS},
             **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
 

@@ -999,8 +999,16 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 return jnp.clip((v * (rf - 1.0)).astype(jnp.int32),
                                 -2, 258)
 
+            # digit combine via i32 MULTIPLIES, not left-shifts: the
+            # composite convert+shift+add expression on (R,1) vectors
+            # miscompiles under Mosaic on v5e (probe_intops_tpu stage 3:
+            # 640/640 rows wrong) while each primitive alone AND the
+            # same expression with multiplies are exact
+            # (probe_intcell_fix_tpu stages a-f) — the mul form is the
+            # identical i32 value, only the lowering differs
             row_key = jnp.int32(_CELL_BIAS) - (
-                _icell(rx) + (_icell(ry) << 10) + (_icell(rz) << 20))
+                _icell(rx) + _icell(ry) * jnp.int32(1 << 10)
+                + _icell(rz) * jnp.int32(1 << 20))
         else:
             fx = _trunc(rx * (rf - 1.0))
             fy = _trunc(ry * (rf - 1.0))
