@@ -146,12 +146,15 @@ class PallasTuning(NamedTuple):
       ≤ 259 < 1022, carry/borrow analysis in _pack_cell_int), and row
       cells clamp to [−2, 258] only where every axis test is already
       false. Not used by the v7 compact route (its kernels decode the
-      flat id in-kernel). **OFF by default: compiled Mosaic produces
-      wrong memberships on the real v5e (TPU smoke maxerr 0.86 vs
-      slotted, nonzero calm certs) while interpret mode is bit-exact —
-      an in-kernel int-op miscompile under investigation
-      (scripts/probe_intops_tpu.py). Do not enable on TPU until the
-      smoke passes with it on.**
+      flat id in-kernel). Round-3 shipped this OFF after the TPU smoke
+      caught compiled Mosaic producing wrong memberships on v5e;
+      probe_intops_tpu.py cornered the miscompile to the composite
+      convert+shift+add row-key expression on (R,1) i32 vectors (each
+      primitive alone is exact, probe_intcell_fix_tpu.py), and the row
+      key now combines digits via i32 MULTIPLIES — same value, clean
+      lowering. Smoke passes compiled (maxerr 6e-8 vs slotted, cert 0);
+      honest A/B: +10.5% at 262k golden (12.34 → 13.64M), neutral at
+      1M. ON by default.
     * ``pj``: the force window carries PRECOMPUTED j-side values —
       press_j = k·(ρⱼ−ρ₀) and the guarded reciprocal
       inv_ρ = [ρⱼ>ε]/ρⱼ (VelPos.compute:86-91) — instead of ρⱼ,
@@ -180,7 +183,7 @@ class PallasTuning(NamedTuple):
     flat: bool = True
     iki: bool = False
     fuse_acc: bool = True
-    intcell: bool = False   # TPU miscompile under investigation — see below
+    intcell: bool = True
     pj: bool = True
 
     @classmethod
