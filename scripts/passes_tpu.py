@@ -92,7 +92,7 @@ def main():
         extras=(state.pos, jnp.zeros_like(state.pos)))[0].cid)
     tune = ps.default_tuning()
     timed("pack_fields", lambda s: ps.pack_fields(
-        frame, pos_s + s, vel_s, rho_s, n, r, tune))
+        frame, pos_s + s, vel_s, rho_s, n, r, tune, phys=phys))
     timed("pack_rows", lambda s: ps.pack_rows(
         pos_s + s, vel_s, rho_s, frame.cid, n, tune))
     timed("fresh_intervals", lambda s: ps.fresh_force_intervals(

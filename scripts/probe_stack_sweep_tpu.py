@@ -17,10 +17,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from probe_compact_tpu import BENCH_SRC, wait_tpu  # noqa: E402
 
-# intcell excluded: compiled Mosaic memberships are wrong on the v5e
-# (see PallasTuning docstring / TPU smoke bisect)
+# round 4: intcell back in the stack (mul row key fixes the (R,1)
+# shift miscompile; smoke passes compiled)
 S = {"SPH_PALLAS_PJ": "1", "SPH_PALLAS_FACC": "1",
-     "SPH_PALLAS_INTCELL": "0"}
+     "SPH_PALLAS_INTCELL": "1"}
 
 
 def main():
