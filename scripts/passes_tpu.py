@@ -103,7 +103,7 @@ def main():
         frame, pos_s + s, vel_s, rho_s, phys, r, n)[0])
     rows = ps.pack_rows(pos_s, vel_s, rho_s, None, n, tune)
     timed("fields_from_rows", lambda s: ps.fields_from_rows(
-        frame, rows + s, n, r, tune))
+        frame, rows + s, n, r, tune, phys=phys))
     timed("fused_substep", lambda s: ps.fused_substep(
         frame, rows + s, phys, r, n, tune=tune)[0])
     timed("unsort", lambda s: jnp.zeros_like(pos_s).at[frame.order]
