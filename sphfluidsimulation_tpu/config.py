@@ -164,16 +164,42 @@ class SimConfig:
     def n_cells(self) -> int:
         return self.bucket_resolution ** 3
 
+    # The reference inspector's [Range] bounds (SphFluidSimulation.cs:35-53),
+    # enforced field-for-field by validate(). Two deliberate deviations:
+    # bucket_resolution's LOWER bound is 2, not the inspector's 1 (R=1 makes
+    # h = 1/(R-1) infinite — the inspector slider allows it but the scene is
+    # degenerate), and particle_number's lower bound is relaxed below the
+    # inspector's 1024 for tiny test scenes (the reference's pow2+sqrt
+    # derivation already makes sub-1024 counts square-truncated; nothing in
+    # the physics needs the UI floor).
+    INSPECTOR_RANGES = (
+        ("preset", 0, 2),                          # :35
+        ("particle_number", 1, 4194304),           # :36 (UI floor 1024 relaxed)
+        ("bucket_resolution", 2, 256),             # :37 (UI floor 1 tightened)
+        ("dam_fill_rate", 0.01, 1.0),              # :38
+        ("viscosity", 0.0, 0.1),                   # :41
+        ("rest_density", 0.0, 5.0),                # :42
+        ("gas_constant", 1.0, 5000.0),             # :43
+        ("stiffness_coefficient", 1000.0, 10000.0),  # :44
+        ("damping_coefficient", 1.0, 50.0),        # :45
+        ("particle_radius", 0.001, 1.0),           # :49
+        ("low_speed", 0.0, 1000.0),                # :52
+        ("high_speed", 0.0, 1000.0),               # :53
+    )
+
     def validate(self) -> "SimConfig":
-        r = self.bucket_resolution
-        if not (2 <= r <= 1024):
-            raise ValueError(f"bucket_resolution {r} out of range")
-        if self.preset not in (0, 1, 2):
-            raise ValueError(f"preset must be 0, 1 or 2, got {self.preset}")
-        if not (0.01 <= self.dam_fill_rate <= 1.0):
-            raise ValueError(f"dam_fill_rate {self.dam_fill_rate} out of [0.01, 1]")
+        for field, lo, hi in self.INSPECTOR_RANGES:
+            v = getattr(self, field)
+            if not (lo <= v <= hi):
+                raise ValueError(
+                    f"{field} {v} outside the reference inspector range "
+                    f"[{lo}, {hi}] (SphFluidSimulation.cs:35-53)")
         if self.n_particles < 1:
             raise ValueError("particle_number too small")
+        if self.substeps < 1:
+            raise ValueError("substeps must be >= 1")
+        if not (self.frame_dt > 0.0 and self.substep_divisor > 0.0):
+            raise ValueError("frame_dt and substep_divisor must be positive")
         return self
 
     def replace(self, **kw: Any) -> "SimConfig":

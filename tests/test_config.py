@@ -54,6 +54,43 @@ def test_validate_rejects_bad_values():
         SimConfig(dam_fill_rate=0.001).validate()
 
 
+# Every reference inspector [Range] bound (SphFluidSimulation.cs:35-53),
+# table-driven: for each field, a value just inside each end passes and a
+# value just outside fails. bucket_resolution's low end and
+# particle_number's low end deviate deliberately (documented in
+# SimConfig.INSPECTOR_RANGES).
+_EPS_CASES = [
+    # (field, ok_lo, ok_hi, bad_lo, bad_hi)
+    ("preset", 0, 2, -1, 3),                                    # cs:35
+    ("particle_number", 1, 4194304, 0, 4194305),                # cs:36
+    ("bucket_resolution", 2, 256, 1, 257),                      # cs:37
+    ("dam_fill_rate", 0.01, 1.0, 0.009, 1.01),                  # cs:38
+    ("viscosity", 0.0, 0.1, -1e-6, 0.11),                       # cs:41
+    ("rest_density", 0.0, 5.0, -1e-6, 5.01),                    # cs:42
+    ("gas_constant", 1.0, 5000.0, 0.99, 5001.0),                # cs:43
+    ("stiffness_coefficient", 1000.0, 10000.0, 999.0, 10001.0),  # cs:44
+    ("damping_coefficient", 1.0, 50.0, 0.99, 50.1),             # cs:45
+    ("particle_radius", 0.001, 1.0, 0.0009, 1.01),              # cs:49
+    ("low_speed", 0.0, 1000.0, -1e-6, 1000.1),                  # cs:52
+    ("high_speed", 0.0, 1000.0, -1e-6, 1000.1),                 # cs:53
+]
+
+
+@pytest.mark.parametrize("field,ok_lo,ok_hi,bad_lo,bad_hi", _EPS_CASES)
+def test_inspector_range_parity(field, ok_lo, ok_hi, bad_lo, bad_hi):
+    assert SimConfig(**{field: ok_lo}).validate()
+    assert SimConfig(**{field: ok_hi}).validate()
+    with pytest.raises(ValueError):
+        SimConfig(**{field: bad_lo}).validate()
+    with pytest.raises(ValueError):
+        SimConfig(**{field: bad_hi}).validate()
+
+
+def test_inspector_ranges_cover_all_range_fields():
+    # one row per [Range] attribute in the reference inspector block
+    assert len(SimConfig.INSPECTOR_RANGES) == 12
+
+
 def test_replace_and_roundtrip():
     c = SimConfig().replace(particle_number=4096)
     assert c.particle_number == 4096

@@ -188,8 +188,10 @@ def test_sites_rollout_tracks_slotted():
 
 @pytest.mark.slow
 def test_sites_corrected_mode_matches_brute():
-    cfg = SimConfig(particle_number=512, bucket_resolution=9,
-                    site_capacity=16)
+    # 1024 particles at R=9 exceed 16 distinct sites in dense voxels
+    # (cert 192); 32 — the reference bucket bound — is exact here
+    cfg = SimConfig(particle_number=1024, bucket_resolution=9,
+                    site_capacity=32)
     st = initial_state(cfg)
     s_a, _ = jax.jit(make_frame_step(cfg, neighbor="sites",
                                      faithful=False))(st)
@@ -404,3 +406,18 @@ def test_auto_bands_rule():
         zspan = -(-r // nb)
         assert (zspan + 2 * sites._BAND_HALO) * r * r \
             <= sites.SITE_BAND_AUTO_CELLS
+
+
+def test_banded_frames_scan_rollout_raises():
+    """Multi-frame lax.scan over the BANDED sites step faults the TPU
+    worker at flagship scale (BENCH_NOTES round 3); make_rollout must
+    fail loud and point at the host-chained alternative (VERDICT round 4
+    weak #6 / next item 8)."""
+    from sphfluidsimulation_tpu.sim.stepper import make_rollout
+    cfg = SimConfig(particle_number=65536, bucket_resolution=75)
+    with pytest.raises(ValueError, match="host_loop"):
+        make_rollout(cfg, 3, neighbor="sites")
+    # single-frame dispatch and small-R (one-band) scans stay allowed
+    make_rollout(cfg, 1, neighbor="sites")
+    make_rollout(SimConfig(particle_number=1024, bucket_resolution=11), 3,
+                 neighbor="sites")

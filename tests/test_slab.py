@@ -33,7 +33,7 @@ def _calm_state(cfg, seed=0, vscale=0.02):
 
 def _calm_cfg(**kw):
     # gentle physics so per-frame cell drift stays within the halo band
-    return CFG.replace(gas_constant=0.2, viscosity=0.05, **kw)
+    return CFG.replace(gas_constant=1.0, viscosity=0.05, **kw)
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
@@ -134,7 +134,7 @@ def test_slab_preset_spawn_jitter_certifies_frame_1():
 
     cfg = SimConfig(particle_number=1024, bucket_resolution=11,
                     site_capacity=24, preset=1).replace(
-                        gas_constant=0.2, viscosity=0.05)
+                        gas_constant=1.0, viscosity=0.05)
     st = initial_state(cfg)
     r = cfg.bucket_resolution
     cell = (np.asarray(st.pos) * (r - 1)).astype(np.int32)
