@@ -148,22 +148,32 @@ def fluid_forces_grid(pos: jax.Array, vel: jax.Array, rho: jax.Array,
 # so each window-cell lookup is ONE perfectly-utilized row gather per array.
 # Two semantic notes, both exactness-preserving:
 #
-# * The reference's j==i skip (VelPos.compute:82) is dropped: the self pair
-#   contributes exactly zero anyway — grad_W_press(0) = 0 via the epsilon
-#   guard (:37) and the viscosity term carries (v_i − v_i) = 0 — so skipping
-#   it is an optimization in HLSL, not semantics.
-# * Empty slots carry occ = 0 and are multiplied out (the reference breaks
-#   at the sentinel, Bucket.compute:33; our build packs occupied slots
-#   first, so the candidate SET is identical).
+# * The reference's j==i skip (VelPos.compute:82) is reproduced EXACTLY: the
+#   occupancy lane carries the candidate's particle id + 1 (0 = empty slot;
+#   ids ≤ 2^22 are exact in f32), and the force gate drops the lane whose id
+#   matches the row's. The skip is NOT merely an HLSL optimization: for
+#   finite values the self pair contributes exactly zero (grad_W_press(0) =
+#   0 via the epsilon guard (:37), viscosity carries v_i − v_i = 0), but a
+#   particle with ±inf velocity or density computes inf − inf = NaN /
+#   inf · 0 = NaN on its OWN lane — a NaN the reference never evaluates,
+#   systematically perturbing trap populations on violent configs
+#   (VERDICT round 4 weak #3).
+# * Empty slots carry id+1 = 0 and are select-gated out (the reference
+#   breaks at the sentinel, Bucket.compute:33; our build packs occupied
+#   slots first, so the candidate SET is identical).
 # ---------------------------------------------------------------------------
 
 
 class PackedSlots(NamedTuple):
     """Per-frame packed slot arrays (pytree).
 
-    posocc: f32[R³, 4C] — fresh positions + occupancy flag (rebuilt per
+    posocc: f32[R³, 4C] — fresh positions + occupancy lane (rebuilt per
             substep in faithful mode from fresh positions over the STALE
             table, matching VelPos reading fresh textures via stale ids).
+            The occupancy lane holds the slot's particle id + 1 (0 for
+            empty slots; exact in f32 for ids < 2^24), so a `> 0` test is
+            the occupancy gate and an equality test against the row's
+            id + 1 is the reference's j==i skip (VelPos.compute:82).
     velrho: f32[R³, 4C] — fresh velocities + STALE density.
     """
 
@@ -185,7 +195,9 @@ def pack_slots(table: jax.Array, capacity: int, n: int, pos: jax.Array,
     """Scatter per-particle values into the 128-lane packed layout."""
     ids = table.reshape(-1, capacity)
     occ_b = ids < n
-    occ = occ_b.astype(jnp.float32)
+    # occupancy lane = particle id + 1 (0 empty) — carries the candidate's
+    # identity for the j==i skip at zero extra gather traffic
+    occ = jnp.where(occ_b, (ids + 1).astype(jnp.float32), 0.0)
     j = jnp.minimum(ids, n - 1)
     # select, don't multiply: on exploding scenes real particles can hold
     # inf pos/vel, and 0 * inf = NaN would poison EMPTY slots (the
@@ -207,7 +219,7 @@ def repack_fresh(slots: PackedSlots, table: jax.Array, capacity: int, n: int,
     """Refresh pos/vel lanes for a new substep; keep stale rho lanes."""
     ids = table.reshape(-1, capacity)
     occ_b = ids < n
-    occ = occ_b.astype(jnp.float32)
+    occ = jnp.where(occ_b, (ids + 1).astype(jnp.float32), 0.0)
     j = jnp.minimum(ids, n - 1)
     # select, not multiply (0 * inf = NaN — see pack_slots)
     px, py, pz = (jnp.where(occ_b, pos[..., k][j], 0.0) for k in range(3))
@@ -245,12 +257,16 @@ def density_slotted_rows(pos_rows: jax.Array, cell_rows: jax.Array,
 
 
 def fluid_forces_slotted_rows(pos_rows: jax.Array, vel_rows: jax.Array,
-                              rho_rows: jax.Array, slots: PackedSlots,
+                              ids_rows: jax.Array, rho_rows: jax.Array,
+                              slots: PackedSlots,
                               capacity: int, p: PhysParams,
                               bucket_resolution: int) -> jax.Array:
     """Pressure + viscosity for a row block via packed-row gathers
     (VelPos.compute:49-105 semantics: fresh window center, stale table/ρ,
-    ρ guards, final m²/ρ_i scaling; self pair contributes exactly 0)."""
+    ρ guards, final m²/ρ_i scaling). ``ids_rows`` are the rows' global
+    particle ids for the reference's j==i skip (VelPos.compute:82) —
+    required so a particle with ±inf velocity does not evaluate its own
+    inf − inf = NaN self pair (the reference never does)."""
     c = capacity
     h6 = p.h ** 6
     cell_fresh = sph_math.cell_index(pos_rows, bucket_resolution)
@@ -268,8 +284,11 @@ def fluid_forces_slotted_rows(pos_rows: jax.Array, vel_rows: jax.Array,
 
         # select-gating, not multiplicative: 0 * inf = NaN would inject
         # NaN into the sums from empty slots / out-of-bounds cells the
-        # reference never evaluates (Bucket.compute:30-35, VelPos:73)
+        # reference never evaluates (Bucket.compute:30-35, VelPos:73).
+        # occ carries id+1, so occ != id_i+1 is exactly VelPos:82's
+        # `if (j == id_1d) continue` — the whole self iteration is skipped
         gate = ((occ > 0.0) & valid[:, None]
+                & (occ != (ids_rows.astype(jnp.float32) + 1.0)[:, None])
                 & (rho_j > EPSILON))                         # VelPos:91
         safe_rho = jnp.where(rho_j > EPSILON, rho_j, 1.0)
 

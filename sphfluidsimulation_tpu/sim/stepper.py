@@ -20,6 +20,7 @@ executable serves any parameter setting and `vmap` gives multi-scene sweeps.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -164,7 +165,7 @@ def make_param_step(cfg: SimConfig, *, neighbor: str = "slotted",
             slots = cellops.repack_fresh(frame, bucket.table, grid_capacity,
                                          n, pos, vel)
             f = cellops.fluid_forces_slotted_rows(
-                pos, vel, rho, slots, grid_capacity, phys, r)
+                pos, vel, ids, rho, slots, grid_capacity, phys, r)
             if use_avisc:
                 f = f + extensions.artificial_viscosity_slotted(
                     pos, vel, rho, slots, grid_capacity, phys, r,
@@ -584,6 +585,24 @@ def make_rollout(cfg: SimConfig, n_frames: int, *, neighbor: str = "slotted",
     """
     if snapshot_every < 0 or (snapshot_every and n_frames % snapshot_every):
         raise ValueError("snapshot_every must be 0 or divide n_frames")
+    if neighbor == "sites" and n_frames > 1:
+        # A frames-lax.scan over the BANDED sites step reproducibly faults
+        # the tunneled TPU worker at flagship scale (1M, R=75): every
+        # banded dispatch passes in isolation and a host-chained rollout
+        # of the same jitted step runs fine — only the scan COMPOSITION
+        # dies (BENCH_NOTES round 3 "z-banded site grids"; bisect in
+        # scripts/probe_banded_tpu.py). Fail loud with the working
+        # alternative instead of killing the worker for ~40 min.
+        from ..ops import sites as _sites
+        bands = cfg.site_bands or _sites.auto_bands(cfg.bucket_resolution)
+        if bands > 1 and os.environ.get("SPH_SITES_SCAN_OK", "0") != "1":
+            raise ValueError(
+                f"multi-frame lax.scan rollouts of the banded sites step "
+                f"(bucket_resolution={cfg.bucket_resolution} -> {bands} "
+                f"z-bands) fault the TPU worker; chain single-frame "
+                f"dispatches instead (bench.run_bench(neighbor='sites', "
+                f"host_loop=True) or a host loop over make_frame_step). "
+                f"Set SPH_SITES_SCAN_OK=1 to override off-TPU.")
     if neighbor == "pallas" and faithful and snapshot_every != 1:
         return _make_pallas_rollout(cfg.validate(), n_frames,
                                     snapshot_every, tune=pallas_tune,

