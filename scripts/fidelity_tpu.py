@@ -100,14 +100,18 @@ def main():
         _part_a(calm, np)
     if only in ("all", "b"):
         _part_b(np)
+    # extra argv tokens are part-specific (backend names for b2, particle
+    # counts for e) — consume them only when that part alone is selected
+    # (ADVICE round 4: `all <token>` used to crash one part or skip legs)
+    extra = sys.argv[2:]
     if only in ("all", "b2"):
-        _part_b2(np)
+        _part_b2(np, legs=extra if only == "b2" else None)
     if only in ("all", "b3"):
         _part_b3(np)
     if only in ("all", "c"):
         _part_c(np)
     if only in ("all", "e"):
-        _part_e(np)
+        _part_e(np, legs=extra if only == "e" else None)
 
 
 def _part_b3(np):
@@ -190,7 +194,7 @@ def _part_b(np):
             **stats, "wall_s": round(time.time() - t0, 1)}), flush=True)
 
 
-def _part_b2(np):
+def _part_b2(np, legs=None):
     """Cross-backend table AT 262k, frames {1, 10, 100} (round 3).
 
     Part B's full-length sites/slotted legs exceed the 1h stage budget at
@@ -203,7 +207,7 @@ def _part_b2(np):
     from sphfluidsimulation_tpu.config import SimConfig
     from sphfluidsimulation_tpu.sim.stepper import initial_state
 
-    legs = sys.argv[2:] or ["pallas", "sites", "slotted"]
+    legs = legs or ["pallas", "sites", "slotted"]
     pin_path = "/tmp/golden262k_100f_pin.npz"
     global CHECKPOINTS
     ckpts = CHECKPOINTS
@@ -289,7 +293,7 @@ def _calm_scaled(n: int):
                      stiffness_coefficient=1000.0, frame_dt=1 / 240)
 
 
-def _part_e(np):
+def _part_e(np, legs=None):
     """Calm-config 1000-frame oracle tracking at 65k and 262k (round 4).
 
     Part A proved pallas tracks the brute oracle to 1.9e-5 @1000 with
@@ -301,7 +305,7 @@ def _part_e(np):
     """
     from sphfluidsimulation_tpu.sim.stepper import initial_state
 
-    legs = sys.argv[2:] or ["65536", "262144"]
+    legs = legs or ["65536", "262144"]
     for ns in legs:
         n = int(ns)
         cfg = _calm_scaled(n)

@@ -13,8 +13,23 @@ exercises pallas in interpret mode). Asserts:
      reference path) to < 1e-5 for EVERY particle;
   4. positions finite and inside [0, 1]^3 (VelPos.compute:154).
 
+Round-5 additions (VERDICT r4 item 6 — the standing compiled-path gate):
+
+  5. VIOLENT stage: two frames of the golden-scaled 16k config (the
+     flagship's exploding EOS) with cert / NaN-trap / overflow counts
+     asserted inside pinned bands — calm configs hide miscompiles that
+     only violent walks expose (the round-3 intcell episode), and
+     same-binary reruns reproduce these counts bit-exactly
+     (BENCH_NOTES round 4), so a band breach means the kernel changed.
+  6. SLAB sp=1 stage: one compiled slab_pallas step on the real chip
+     (the banded build_frame + halo no-op path had only ever run in
+     CPU-interpret mesh tests), asserting cert 0 and single-device
+     trajectory agreement.
+
 Exit code 0 == pass. Exits via os._exit after printing one JSON line
 (normal interpreter teardown can crash the tunneled TPU worker).
+SPH_SMOKE_PIN=1 prints the violent stage's measured counts without
+asserting bands (used once per intentional kernel change to re-pin).
 """
 
 import json
@@ -96,15 +111,71 @@ def main() -> int:
     }
     ok = all(checks.values())
 
-    # report-only golden stage: the flagship physics at 16k, no cert/
-    # tracking assertions (see above) — just "it runs and stays in-cube"
+    # VIOLENT stage (asserted): two frames of the flagship physics at 16k.
+    # Chaotic trajectories forbid cross-backend position pins here, but the
+    # cert / trap / overflow POPULATIONS are deterministic on a fixed
+    # binary (same-chip reruns reproduce them bit-exactly, BENCH_NOTES r4)
+    # — pinned bands catch the miscompile class calm configs hide.
+    # Re-pin with SPH_SMOKE_PIN=1 after any INTENTIONAL kernel change.
     _arm(600)
     gcfg = scaled_config(1 << 14)
-    gs, gm = jax.jit(make_param_step(gcfg, neighbor="pallas"))(
-        initial_state(gcfg), PhysParams.from_config(gcfg))
+    gstate0 = initial_state(gcfg)
+    gphys = PhysParams.from_config(gcfg)
+    gstep = jax.jit(make_param_step(gcfg, neighbor="pallas"))
+    gs, gm1 = gstep(gstate0, gphys)
+    gs, gm2 = gstep(gs, gphys)
+    gbucket, _ = build_bucket(gstate0.pos, gcfg.bucket_resolution,
+                              gcfg.voxel_capacity)
+    g_ovf_grid = int(overflow_count(gbucket))
+    violent_report = {
+        "cert_f1": int(gm1.exact_cert), "cert_f2": int(gm2.exact_cert),
+        "nan_f1": int(gm1.nan_events), "nan_f2": int(gm2.nan_events),
+        "ovf_f1": int(gm1.overflow), "ovf_grid": g_ovf_grid,
+    }
     g_in_cube = bool((np.asarray(gs.pos) >= 0).all()
                      and (np.asarray(gs.pos) <= 1).all())
-    ok = ok and g_in_cube
+    violent_report["in_cube"] = g_in_cube
+    pin_mode = os.environ.get("SPH_SMOKE_PIN", "0") == "1"
+    # bands pinned on the v5e, round 5 (post self-pair-skip kernels);
+    # ±35% margins absorb toolchain drift, not semantic change
+    VIOLENT_BANDS = {
+        "cert_f1": (5000, 13000), "cert_f2": (2500, 9000),
+        "nan_f1": (4000, 12000), "nan_f2": (5000, 14000),
+    }
+    violent_checks = {"violent_in_cube": g_in_cube,
+                      "violent_ovf_matches_grid":
+                          violent_report["ovf_f1"] == g_ovf_grid}
+    if not pin_mode:
+        for k, (lo, hi) in VIOLENT_BANDS.items():
+            violent_checks[f"violent_{k}_band"] = \
+                lo <= violent_report[k] <= hi
+    checks.update(violent_checks)
+    ok = ok and all(violent_checks.values())
+
+    # SLAB sp=1 stage (asserted): one compiled slab_pallas step on the
+    # real chip — banded build_frame + halo/migration no-op path, never
+    # previously compiled outside CPU-interpret mesh tests.
+    _arm(600)
+    from jax.sharding import Mesh
+    from sphfluidsimulation_tpu.parallel import slab, slab_pallas
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("sp",))
+    sstep, sspec = slab_pallas.make_pallas_slab_step(cfg, mesh1,
+                                                     row_slack=4.0)
+    sstep = jax.jit(sstep)
+    sst = slab.distribute(state0, cfg, sspec, mesh1)
+    sst, sm = sstep(sst, phys)
+    sst, sm = sstep(sst, phys)
+    sout, lost = slab.collect(sst, cfg.n_particles)
+    # the calm reference trajectory: the asserted stage's 2-frame pallas
+    # positions (pos_p) — same physics, same tier
+    slab_err = float(np.max(np.abs(np.asarray(sout.pos) - pos_p)))
+    slab_checks = {
+        "slab_sp1_cert_zero": int(sm.exact_cert) == 0,
+        "slab_sp1_lost_zero": lost == 0,
+        "slab_sp1_tracks_single": slab_err < 2e-5,
+    }
+    checks.update(slab_checks)
+    ok = ok and all(slab_checks.values())
 
     print(json.dumps({
         "smoke": "PASS" if ok else "FAIL",
@@ -116,9 +187,9 @@ def main() -> int:
         "overflow_grid": ovf_grid,
         "frame1_maxerr_vs_slotted": maxerr,
         "checks": checks,
-        "golden_report": {"exact_cert": int(gm.exact_cert),
-                          "in_cube": g_in_cube,
-                          "mean_rho": round(float(gm.mean_density), 5)},
+        "violent_report": violent_report,
+        "pin_mode": pin_mode,
+        "slab_sp1_maxerr": slab_err,
         "elapsed_s": round(time.time() - t_start, 1),
     }), flush=True)
     os._exit(0 if ok else 1)
