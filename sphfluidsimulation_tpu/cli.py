@@ -95,6 +95,20 @@ def cmd_run(a) -> int:
             viewer_frames.append(np.asarray(scene.state.pos))
             viewer_speeds.append(
                 np.linalg.norm(np.asarray(scene.state.vel), axis=-1))
+            # live mode: rewrite the self-contained viewer every k
+            # recorded frames with an auto-refresh tag, so a browser on
+            # the file follows the RUNNING sim — the headless equivalent
+            # of the reference's per-frame draw (SphFluidSimulation.cs:
+            # 106-107); the final write below drops the refresh
+            if a.viewer_live and len(viewer_frames) % a.viewer_live == 0:
+                from .render.viewer import export_html_viewer
+                export_html_viewer(
+                    a.viewer, np.stack(viewer_frames),
+                    np.stack(viewer_speeds),
+                    sim_scale=scene.cfg.sim_scale,
+                    low_speed=scene.cfg.low_speed,
+                    high_speed=scene.cfg.high_speed,
+                    refresh_s=2.0)
         rec = log.log(scene.frame, scene.last_metrics)
         if a.verbose:
             print(json.dumps(rec))
@@ -322,6 +336,11 @@ def main(argv=None) -> int:
                         "to this html path")
     p.add_argument("--viewer-every", type=int, default=1,
                    help="record every k-th frame into --viewer")
+    p.add_argument("--viewer-live", type=int, default=0, metavar="K",
+                   help="rewrite --viewer every K recorded frames WHILE "
+                        "the run is in progress (auto-refresh) — the "
+                        "live view of a still-running sim; 0 = only "
+                        "write at the end")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--shards", type=int, default=1,
                    help="spatial slab shards over the device mesh (>1 "

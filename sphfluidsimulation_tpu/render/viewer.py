@@ -38,13 +38,20 @@ def export_html_viewer(path: str, snapshots: np.ndarray,
                        sim_scale: float = 5.0, low_speed: float = 0.0,
                        high_speed: float = 0.5, fps: float = 30.0,
                        point_size: float = 3.0,
-                       title: str = "sphfluidsimulation-tpu") -> str:
+                       title: str = "sphfluidsimulation-tpu",
+                       refresh_s: float | None = None) -> str:
     """Write a standalone interactive viewer for a snapshot rollout.
 
     ``snapshots``: f32[F, N, 3] unit-cube positions (e.g. the
     ``snapshot_every`` output of sim.stepper.make_rollout).
     ``speeds``: optional f32[F, N] per-particle speeds for the reference's
     blue→red ramp; None renders constant blue.
+    ``refresh_s``: live-run mode (cli ``run --viewer-live``): embed an
+    auto-refresh so a browser pointed at the file keeps picking up the
+    newest rewrite while the simulation is still running — the headless
+    equivalent of the reference's draw-while-simulating view
+    (SphFluidSimulation.cs:106-107). None (the default) writes the final
+    static file.
     """
     snapshots = np.asarray(snapshots, np.float32)
     if snapshots.ndim != 3 or snapshots.shape[-1] != 3:
@@ -60,18 +67,27 @@ def export_html_viewer(path: str, snapshots: np.ndarray,
     else:
         spd_b64 = ""
     meta = {"frames": f, "n": n, "simScale": sim_scale, "fps": fps,
-            "pointSize": point_size, "hasSpeed": speeds is not None}
+            "pointSize": point_size, "hasSpeed": speeds is not None,
+            "live": refresh_s is not None}
+    refresh = ("" if refresh_s is None else
+               f'<meta http-equiv="refresh" content="{refresh_s:g}">')
     html = _TEMPLATE.replace("__TITLE__", title) \
+        .replace("__REFRESH__", refresh) \
         .replace("__META__", json.dumps(meta)) \
         .replace("__POS_B64__", base64.b64encode(pos_bytes).decode()) \
         .replace("__SPD_B64__", spd_b64)
-    with open(path, "w") as fh:
+    # atomic replace: a live-mode browser refresh must never read a
+    # half-written file
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write(html)
+    import os
+    os.replace(tmp, path)
     return path
 
 
 _TEMPLATE = r"""<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>__TITLE__</title><style>
+<html><head><meta charset="utf-8">__REFRESH__<title>__TITLE__</title><style>
 html,body{margin:0;height:100%;background:#101018;overflow:hidden;
 font:12px monospace;color:#ccd}
 #hud{position:fixed;left:8px;top:8px;user-select:none}
@@ -127,7 +143,7 @@ window.addEventListener("mousemove",e=>{if(!drag)return;
   drag=[e.clientX,e.clientY];});
 cv.addEventListener("wheel",e=>{e.preventDefault();
   dist=Math.max(DIST_MIN,dist+e.deltaY*0.01);},{passive:false});
-let playing=true,frame=0,last=0;
+let playing=true,frame=META.live?Math.max(F-1,0):0,last=0;
 window.addEventListener("keydown",e=>{
   if(e.key===" ")playing=!playing;
   if(e.key==="ArrowRight")frame=(frame+1)%F;

@@ -48,3 +48,28 @@ def test_viewer_rejects_bad_shape(tmp_path):
     with pytest.raises(ValueError):
         export_html_viewer(str(tmp_path / "x.html"),
                            np.zeros((4, 3), np.float32))
+
+
+def test_viewer_live_mode(tmp_path):
+    """run --viewer-live K: the in-progress rewrites carry an auto-refresh
+    tag and start playback at the newest frame (the reference's
+    draw-while-simulating view, SphFluidSimulation.cs:106-107); the final
+    write is the plain static file."""
+    rng = np.random.default_rng(1)
+    snaps = rng.uniform(0, 1, (3, 64, 3)).astype(np.float32)
+    out = str(tmp_path / "live.html")
+    export_html_viewer(out, snaps, refresh_s=2.0)
+    html = open(out).read()
+    assert 'http-equiv="refresh" content="2"' in html
+    meta = json.loads(re.search(r"const META = (\{.*?\});", html).group(1))
+    assert meta["live"] is True
+
+    from sphfluidsimulation_tpu.cli import main
+    rc = main(["run", "--particles", "256", "--bucket-resolution", "7",
+               "--gas-constant", "1.0", "--neighbor", "slotted",
+               "--frames", "3", "--viewer", out, "--viewer-live", "1"])
+    assert rc == 0
+    html = open(out).read()  # final write: static, no refresh
+    assert "http-equiv" not in html
+    meta = json.loads(re.search(r"const META = (\{.*?\});", html).group(1))
+    assert meta["live"] is False and meta["frames"] == 3
