@@ -41,10 +41,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _arm(seconds: int) -> None:
+_STAGE = {"name": "init", "t0": time.time()}
+
+
+def _arm(seconds: int, stage: str | None = None) -> None:
+    if stage is not None:
+        _STAGE["name"] = stage
+        _STAGE["t0"] = time.time()
+        print(f"stage: {stage}", flush=True)
+
     def on_alarm(*a):
-        print(json.dumps({"smoke": "FAIL", "error": "stage timeout"}),
-              flush=True)
+        print(json.dumps({
+            "smoke": "FAIL", "error": "stage timeout",
+            "stage": _STAGE["name"],
+            "stage_elapsed_s": round(time.time() - _STAGE["t0"], 1),
+        }), flush=True)
         os._exit(3)
 
     signal.signal(signal.SIGALRM, on_alarm)
@@ -53,7 +64,7 @@ def _arm(seconds: int) -> None:
 
 def main() -> int:
     t_start = time.time()
-    _arm(600)
+    _arm(600, "imports+calm")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -117,34 +128,42 @@ def main() -> int:
     # binary (same-chip reruns reproduce them bit-exactly, BENCH_NOTES r4)
     # — pinned bands catch the miscompile class calm configs hide.
     # Re-pin with SPH_SMOKE_PIN=1 after any INTENTIONAL kernel change.
-    _arm(600)
+    _arm(900, "violent")
     gcfg = scaled_config(1 << 14)
     gstate0 = initial_state(gcfg)
     gphys = PhysParams.from_config(gcfg)
     gstep = jax.jit(make_param_step(gcfg, neighbor="pallas"))
     gs, gm1 = gstep(gstate0, gphys)
     gs, gm2 = gstep(gs, gphys)
-    gbucket, _ = build_bucket(gstate0.pos, gcfg.bucket_resolution,
-                              gcfg.voxel_capacity)
-    g_ovf_grid = int(overflow_count(gbucket))
+    gnan = int(gm1.nan_events) + int(gm2.nan_events)
+    gcert10 = int(gm1.exact_cert) + int(gm2.exact_cert)
+    for _ in range(8):  # traps first fire several frames into the blowup
+        gs, gmi = gstep(gs, gphys)
+        gnan += int(gmi.nan_events)
+        gcert10 += int(gmi.exact_cert)
     violent_report = {
         "cert_f1": int(gm1.exact_cert), "cert_f2": int(gm2.exact_cert),
-        "nan_f1": int(gm1.nan_events), "nan_f2": int(gm2.nan_events),
-        "ovf_f1": int(gm1.overflow), "ovf_grid": g_ovf_grid,
+        "cert_10f_total": gcert10,
+        "nan_10f_total": gnan,
+        "ovf_f1": int(gm1.overflow),
     }
     g_in_cube = bool((np.asarray(gs.pos) >= 0).all()
                      and (np.asarray(gs.pos) <= 1).all())
     violent_report["in_cube"] = g_in_cube
     pin_mode = os.environ.get("SPH_SMOKE_PIN", "0") == "1"
-    # bands pinned on the v5e, round 5 (post self-pair-skip kernels);
-    # ±35% margins absorb toolchain drift, not semantic change
+    # Bands pinned on the v5e, round 5 (post self-pair-skip kernels);
+    # ±~35% margins absorb toolchain drift, not semantic change. ovf_f1
+    # is banded rather than grid-matched: the rollout's occ count also
+    # drops out-of-cube spawn-jitter particles (flat-id aliasing
+    # semantics), which overflow_count(bucket) does not see — the EXACT
+    # grid match is asserted by the calm stage above.
     VIOLENT_BANDS = {
-        "cert_f1": (5000, 13000), "cert_f2": (2500, 9000),
-        "nan_f1": (4000, 12000), "nan_f2": (5000, 14000),
+        "cert_f1": (6500, 14500), "cert_f2": (3000, 7000),
+        "cert_10f_total": (12000, 35000),
+        "nan_10f_total": (1, 500000),
+        "ovf_f1": (1900, 4100),
     }
-    violent_checks = {"violent_in_cube": g_in_cube,
-                      "violent_ovf_matches_grid":
-                          violent_report["ovf_f1"] == g_ovf_grid}
+    violent_checks = {"violent_in_cube": g_in_cube}
     if not pin_mode:
         for k, (lo, hi) in VIOLENT_BANDS.items():
             violent_checks[f"violent_{k}_band"] = \
@@ -155,7 +174,7 @@ def main() -> int:
     # SLAB sp=1 stage (asserted): one compiled slab_pallas step on the
     # real chip — banded build_frame + halo/migration no-op path, never
     # previously compiled outside CPU-interpret mesh tests.
-    _arm(600)
+    _arm(900, "slab_sp1")
     from jax.sharding import Mesh
     from sphfluidsimulation_tpu.parallel import slab, slab_pallas
     mesh1 = Mesh(np.array(jax.devices()[:1]), ("sp",))

@@ -173,11 +173,22 @@ class PallasTuning(NamedTuple):
       in-kernel — same deviation class as the banded-sites CPU pins).
       Force window only; not composed with the extension sums (they
       need raw ρⱼ) or the compact route.
+    * ``kahan``: compensated (Kahan) pair-sum accumulators, opt-in
+      fidelity experiment (VERDICT r4 weak #7 — the pallas tier's
+      frame-1 f64-oracle tracking at golden 65k trails slotted's, with
+      walk-order summation the suspected cause). Doubles the
+      accumulator registers and adds 3 VPU ops per accumulate; the
+      result is a summation whose error is nearly independent of walk
+      order, separating order-chaos from any real candidate-set
+      difference. Identical candidate set and per-pair terms; only the
+      rounding of the running sums changes. Applies to the v6/v8
+      density and force kernels (not v7 compact).
     """
 
     rows_per_tile: int = 64
     tiles_per_group: int = 16
     unroll: int = 4
+    kahan: bool = False
     w_fudge: float = 1.5
     line_fudge: float = 4.0
     sort_lookup: bool = False
@@ -202,6 +213,8 @@ class PallasTuning(NamedTuple):
             tiles_per_group=int(_os.environ.get("SPH_PALLAS_TPG",
                                                 d.tiles_per_group)),
             unroll=int(_os.environ.get("SPH_PALLAS_UNROLL", d.unroll)),
+            kahan=_os.environ.get("SPH_PALLAS_KAHAN",
+                                  "1" if d.kahan else "0") == "1",
             w_fudge=float(_os.environ.get("SPH_PALLAS_W_FUDGE", d.w_fudge)),
             line_fudge=float(_os.environ.get("SPH_PALLAS_LINE_FUDGE",
                                              d.line_fudge)),
@@ -1067,10 +1080,21 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 vmu_row = jnp.where(rrho > EPSILON, visc_mu, 1.0)
             else:
                 n_acc = 12 if use_ext else 6
-            acc = [jnp.zeros((tune.rows_per_tile, LANES), jnp.float32)
-                   for _ in range(n_acc)]
         else:
-            acc = [jnp.zeros((tune.rows_per_tile, LANES), jnp.float32)]
+            n_acc = 1
+        # tune.kahan: slots [n_acc, 2*n_acc) carry the compensation terms
+        acc = [jnp.zeros((tune.rows_per_tile, LANES), jnp.float32)
+               for _ in range(2 * n_acc if tune.kahan else n_acc)]
+
+        def accum(acc, i, term):
+            """acc[i] += term — plain, or Kahan-compensated (opt-in)."""
+            if not tune.kahan:
+                acc[i] = acc[i] + term
+                return
+            y = term - acc[n_acc + i]
+            t = acc[i] + y
+            acc[n_acc + i] = (t - acc[i]) - y
+            acc[i] = t
 
         def pair_block(blk, lane_gate, ku, acc):
             """One (8, 128) candidate chunk vs this row-tile; ``lane_gate``
@@ -1124,7 +1148,7 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             if not force:
                 diff = h2 - r2
                 w = jnp.where(diff > 0, c9 * diff * diff * diff, 0.0)
-                acc[0] = acc[0] + jnp.where(gate, w, 0.0)
+                accum(acc, 0, jnp.where(gate, w, 0.0))
                 return acc
 
             if pj:
@@ -1180,20 +1204,20 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 # reference's two accumulators in BOTH ρᵢ branches,
                 # ~ULP summation reorder only
                 vcm = gwv * inv_rho * vmu_row
-                acc[0] = acc[0] + jnp.where(
-                    gate, pc * dxv + vcm * (vjx - rvx), 0.0)
-                acc[1] = acc[1] + jnp.where(
-                    gate, pc * dyv + vcm * (vjy - rvy), 0.0)
-                acc[2] = acc[2] + jnp.where(
-                    gate, pc * dzv + vcm * (vjz - rvz), 0.0)
+                accum(acc, 0, jnp.where(
+                    gate, pc * dxv + vcm * (vjx - rvx), 0.0))
+                accum(acc, 1, jnp.where(
+                    gate, pc * dyv + vcm * (vjy - rvy), 0.0))
+                accum(acc, 2, jnp.where(
+                    gate, pc * dzv + vcm * (vjz - rvz), 0.0))
             else:
-                acc[0] = acc[0] + jnp.where(gate, pc * dxv, 0.0)
-                acc[1] = acc[1] + jnp.where(gate, pc * dyv, 0.0)
-                acc[2] = acc[2] + jnp.where(gate, pc * dzv, 0.0)
+                accum(acc, 0, jnp.where(gate, pc * dxv, 0.0))
+                accum(acc, 1, jnp.where(gate, pc * dyv, 0.0))
+                accum(acc, 2, jnp.where(gate, pc * dzv, 0.0))
                 vc = gwv * inv_rho
-                acc[3] = acc[3] + jnp.where(gate, vc * (vjx - rvx), 0.0)
-                acc[4] = acc[4] + jnp.where(gate, vc * (vjy - rvy), 0.0)
-                acc[5] = acc[5] + jnp.where(gate, vc * (vjz - rvz), 0.0)
+                accum(acc, 3, jnp.where(gate, vc * (vjx - rvx), 0.0))
+                accum(acc, 4, jnp.where(gate, vc * (vjy - rvy), 0.0))
+                accum(acc, 5, jnp.where(gate, vc * (vjz - rvz), 0.0))
 
             if use_ext:
                 xb = 3 if tune.fuse_acc else 6
@@ -1204,11 +1228,11 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 denom = rrho + rho_j
                 xc = jnp.where(denom > EPSILON, 2.0, 0.0) \
                     / jnp.where(denom > EPSILON, denom, 1.0) * w6
-                acc[xb] = acc[xb] + jnp.where(gate, xc * (vjx - rvx), 0.0)
-                acc[xb + 1] = acc[xb + 1] + jnp.where(
-                    gate, xc * (vjy - rvy), 0.0)
-                acc[xb + 2] = acc[xb + 2] + jnp.where(
-                    gate, xc * (vjz - rvz), 0.0)
+                accum(acc, xb, jnp.where(gate, xc * (vjx - rvx), 0.0))
+                accum(acc, xb + 1, jnp.where(
+                    gate, xc * (vjy - rvy), 0.0))
+                accum(acc, xb + 2, jnp.where(
+                    gate, xc * (vjz - rvz), 0.0))
                 # Monaghan PI raw sum: PI gwp d (alpha, m^2 folded
                 # outside; cs = sqrt(gas_k))
                 dvx2 = rvx - vjx
@@ -1221,9 +1245,9 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
                 pi = jnp.where(pi_ok, -cs * mu, 0.0) \
                     / jnp.where(pi_ok, rho_bar, 1.0)
                 ac = pi * gwp
-                acc[xb + 3] = acc[xb + 3] + jnp.where(gate, ac * dxv, 0.0)
-                acc[xb + 4] = acc[xb + 4] + jnp.where(gate, ac * dyv, 0.0)
-                acc[xb + 5] = acc[xb + 5] + jnp.where(gate, ac * dzv, 0.0)
+                accum(acc, xb + 3, jnp.where(gate, ac * dxv, 0.0))
+                accum(acc, xb + 4, jnp.where(gate, ac * dyv, 0.0))
+                accum(acc, xb + 5, jnp.where(gate, ac * dzv, 0.0))
             return acc
 
         if maxc is not None:
@@ -1332,6 +1356,9 @@ def _sph_kernel(n_lines: int, force: bool, r: int,
             acc = jax.lax.fori_loop(0, counts_ref[rt, 0], line_body, acc,
                                     unroll=False)
 
+        if tune.kahan:
+            # fold the compensations back before the lane reduction
+            acc = [acc[i] + acc[n_acc + i] for i in range(n_acc)]
         sums = [jnp.sum(a, axis=1, keepdims=True) for a in acc]
         if not fused:
             outv = jnp.concatenate(

@@ -556,3 +556,23 @@ def test_pallas_forces_skip_self_on_inf_velocities():
     scale = np.abs(f_b[fin]).max()
     np.testing.assert_allclose(f_p[fin] / scale, f_b[fin] / scale,
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_kahan_accumulators_track_default():
+    """tune.kahan (compensated pair sums, the VERDICT r4 item-7 order
+    experiment) must keep the identical candidate set (equal certs) and
+    track the default accumulators to summation tolerance on the calm
+    config."""
+    from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+
+    sp = sk = initial_state(CALM)
+    pstep = jax.jit(make_frame_step(CALM, neighbor="pallas"))
+    kstep = jax.jit(make_frame_step(CALM, neighbor="pallas",
+                                    pallas_tune=PallasTuning(kahan=True)))
+    for _ in range(3):
+        sp, mp = pstep(sp)
+        sk, mk = kstep(sk)
+    assert int(mp.exact_cert) == int(mk.exact_cert) == 0
+    np.testing.assert_allclose(np.asarray(sk.pos), np.asarray(sp.pos),
+                               atol=1e-5)
