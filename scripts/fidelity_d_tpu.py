@@ -3,6 +3,10 @@
 
 Modes (argv[1]):
   traj-pallas   frames 1-5 @65k golden, pallas f32 (TPU), save npz
+  traj-pallas-kahan  same with tune.kahan (compensated pair sums) — the
+                VERDICT r4 item-7 walk-order experiment: if the frame-1
+                oracle-tracking gap vs slotted is summation-order chaos,
+                compensation closes it
   traj-sites    frames 1-5 @65k golden, sites f32 (TPU), save npz
   traj-slotted  frames 1-5 @65k golden, slotted f32 (CPU), save npz
   dt            golden 65k at substep dt x1, x1/5, x1/25 (pallas, TPU):
@@ -72,10 +76,11 @@ def _retry(f, tries=8, wait=25):
     raise RuntimeError("compile retries exhausted")
 
 
-def run_traj(neighbor: str) -> int:
+def run_traj(neighbor: str, tag: str | None = None, tune=None) -> int:
     cfg = scaled_config(1 << 16)
     st = initial_state(cfg)
-    step = jax.jit(make_frame_step(cfg, neighbor=neighbor))
+    step = jax.jit(make_frame_step(cfg, neighbor=neighbor,
+                                   pallas_tune=tune))
     t0 = time.time()
     frames, vels = [], []
     for fr in range(N_FRAMES):
@@ -88,7 +93,7 @@ def run_traj(neighbor: str) -> int:
               f"nan={int(jnp.sum(st.nan_count))} cert={int(m.exact_cert)} "
               f"t={time.time() - t0:.0f}s", flush=True)
     os.makedirs(OUT_DIR, exist_ok=True)
-    path = os.path.join(OUT_DIR, f"{neighbor}_65k.npz")
+    path = os.path.join(OUT_DIR, f"{tag or neighbor}_65k.npz")
     np.savez_compressed(path, pos=np.stack(frames), vel=np.stack(vels),
                         n=cfg.n_particles, r=cfg.bucket_resolution)
     print(f"saved {path} ({time.time() - t0:.0f}s)", flush=True)
@@ -118,6 +123,10 @@ def run_dt() -> int:
 def main() -> int:
     enable_compilation_cache()
     float(jnp.sum(jnp.ones(8)))  # device up-front
+    if MODE == "traj-pallas-kahan":
+        from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+        return run_traj("pallas", tag="pallas-kahan",
+                        tune=PallasTuning(kahan=True))
     if MODE.startswith("traj-"):
         return run_traj(MODE.split("-", 1)[1])
     if MODE == "dt":
