@@ -48,6 +48,24 @@ def flat_cell_id(cell: jax.Array, r: int) -> jax.Array:
     return cell[..., 0] + cell[..., 1] * r + cell[..., 2] * (r * r)
 
 
+def run_starts(sorted_vals: jax.Array) -> jax.Array:
+    """First index of each equal-value run in an ascending-sorted array.
+
+    Value-identical to ``jnp.searchsorted(a, a, side='left')``, which XLA
+    lowers on TPU to a ~log2(n)-trip while loop of row gathers (the 422k-query
+    start-table build alone measured 65 ms at 1M on v5e,
+    scripts/probe_build_tpu.py); the run-boundary compare + cummax form is
+    one pass at bandwidth speed. Used by every capacity-rank pass (this
+    module, sites, slab) — the rank of a particle within its voxel is
+    ``i - run_starts(cid_s)[i]`` in sorted order.
+    """
+    n = sorted_vals.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                           sorted_vals[1:] != sorted_vals[:-1]])
+    return jax.lax.cummax(jnp.where(new, idx, 0))
+
+
 def build_bucket(pos: jax.Array, r: int, capacity: int | None) -> tuple[Bucket, int]:
     """Build the frame's neighbor structure from positions.
 
@@ -70,7 +88,7 @@ def build_bucket(pos: jax.Array, r: int, capacity: int | None) -> tuple[Bucket, 
 
     # Rank within each equal-cell run.
     idx = jnp.arange(n, dtype=jnp.int32)
-    run_start = jnp.searchsorted(sorted_cid, sorted_cid, side="left").astype(jnp.int32)
+    run_start = run_starts(sorted_cid)
     rank_sorted = idx - run_start
     rank = jnp.zeros(n, jnp.int32).at[order].set(rank_sorted)
 

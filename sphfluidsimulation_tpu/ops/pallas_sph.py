@@ -391,6 +391,41 @@ def fields_rows(n: int, r: int, tune: PallasTuning,
     return max(padded_n(n, tune) // LANES + 1, w)
 
 
+def merge_start_table(cid_s: jax.Array, nq: int) -> jax.Array:
+    """``searchsorted(cid_s, arange(nq), 'left')`` at sort speed.
+
+    The start table is the per-frame cell → first-sorted-row index map
+    every interval walk gathers from. ``jnp.searchsorted`` lowers on TPU
+    to a ~log2(n)-trip while loop of row gathers — measured **65 ms** at
+    n=1M, nq=421876 on v5e (scripts/probe_build_tpu.py), the single
+    largest piece of the ~84 ms/frame build glue probe_glue_tpu.py
+    cornered. This computes the IDENTICAL table with two ``lax.sort``s
+    and a cumsum (sort of 1M rides at ~2-3 ms on this chip):
+
+    merge the (already sorted, unique) queries into the sorted element
+    keys with a tag ordering a query BEFORE equal elements (= side
+    'left'), count elements strictly before each merged slot, and
+    un-merge the per-query counts with a second sort keyed (tag,
+    merged position) — the queries come out first, in query-id order.
+    No scatter, no gather; values exactly ``searchsorted``'s. Requires
+    every element key ≤ nq - 1 (build_frame's keys are clamped cell ids
+    in [0, s_cells - 1] plus the dead-row sentinel s_cells, and
+    nq = s_cells + 1).
+    """
+    n = cid_s.shape[0]
+    m = n + nq
+    keys = jnp.concatenate([jnp.arange(nq, dtype=jnp.int32),
+                            cid_s.astype(jnp.int32)])
+    tag = jnp.concatenate([jnp.zeros(nq, jnp.int32),
+                           jnp.ones(n, jnp.int32)])
+    _, tag_m = jax.lax.sort((keys, tag), num_keys=2, is_stable=False)
+    excl = jnp.cumsum(tag_m) - tag_m        # elements strictly before slot
+    pos_m = jnp.arange(m, dtype=jnp.int32)  # (tag, pos) unique → unstable ok
+    _, _, start_q = jax.lax.sort((tag_m, pos_m, excl), num_keys=2,
+                                 is_stable=False)
+    return start_q[:nq].astype(jnp.int32)
+
+
 def build_frame(pos: jax.Array, r: int, capacity: int | None,
                 extras: tuple[jax.Array, ...] = (),
                 gid: jax.Array | None = None,
@@ -490,9 +525,7 @@ def build_frame(pos: jax.Array, r: int, capacity: int | None,
     if capacity is not None:
         occ = occ & (rank < capacity)
 
-    start = jnp.searchsorted(
-        cid_s, jnp.arange(s_cells + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    start = merge_start_table(cid_s, s_cells + 1)
 
     # group stale spans (over real particles; padded tail groups clamp)
     gp = tune.tiles_per_group * tune.rows_per_tile

@@ -81,6 +81,7 @@ from jax import lax
 
 from ..config import EPSILON
 from ..params import PhysParams
+from . import grid
 
 _PI = math.pi
 FAR = 2.0  # empty-slot position: ≥ 1+h from any in-cube point ⇒ kernels ≡ 0
@@ -112,8 +113,8 @@ def frame_binding(pos: jax.Array, r: int, cap: int | None):
         return cid, in_range, ovf
     iota = lax.iota(jnp.int32, n)
     sorted_cid, order = lax.sort((cid, iota), num_keys=1, is_stable=True)
-    run_start = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank_sorted = iota - run_start.astype(jnp.int32)
+    run_start = grid.run_starts(sorted_cid)
+    rank_sorted = iota - run_start
     rank = jnp.zeros(n, jnp.int32).at[order].set(rank_sorted)
     in_cap = in_range & (rank < cap)
     ovf = jnp.sum(~in_cap).astype(jnp.int32)
@@ -181,8 +182,7 @@ def _site_slots(keys: list[jax.Array], cid: jax.Array, n: int, s: int,
     new = new | jnp.concatenate([jnp.ones(1, jnp.bool_),
                                  sorted_cid[1:] != sorted_cid[:-1]])
     g = jnp.cumsum(new.astype(jnp.int32)) - 1          # global site ordinal
-    run_start = jnp.searchsorted(sorted_cid, sorted_cid,
-                                 side="left").astype(jnp.int32)
+    run_start = grid.run_starts(sorted_cid)
     site_rank = g - g[run_start]
     ok = site_rank < k
     if in_range is None:

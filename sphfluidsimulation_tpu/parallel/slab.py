@@ -53,7 +53,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimConfig
 from ..params import PhysParams
-from ..ops import sites
+from ..ops import grid, sites
 from ..ops.sites import FAR, ISites
 from ..sim.stepper import integrate_substep
 from ..state import ParticleState, StepMetrics
@@ -191,8 +191,8 @@ def _bind_local_capped(pos, pid, valid, my, r, cap, spec: SlabSpec):
     key = jnp.where(member, lcid, s_loc)
     sorted_key, _, order = lax.sort((key, pid, lax.iota(jnp.int32, c)),
                                     num_keys=2, is_stable=True)
-    run_start = jnp.searchsorted(sorted_key, sorted_key, side="left")
-    rank_sorted = lax.iota(jnp.int32, c) - run_start.astype(jnp.int32)
+    run_start = grid.run_starts(sorted_key)
+    rank_sorted = lax.iota(jnp.int32, c) - run_start
     rank = jnp.zeros(c, jnp.int32).at[order].set(rank_sorted)
     in_cap = member & (rank < cap)
     ovf = jnp.sum(valid & ~in_cap).astype(jnp.int32)
