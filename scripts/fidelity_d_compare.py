@@ -40,7 +40,8 @@ def main() -> int:
         return 2
     opos = oracle["pos"]
     backends = {k: v for k, v in
-                ((n, load(n)) for n in ("pallas", "pallas-kahan", "slotted", "sites"))
+                ((n, load(n)) for n in ("pallas", "pallas-kahan",
+                                        "pallas-exact", "slotted", "sites"))
                 if v is not None}
     if not backends:
         print("no backend trajectories; run scripts/fidelity_d_tpu.py")

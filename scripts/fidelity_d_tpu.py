@@ -127,6 +127,14 @@ def main() -> int:
         from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
         return run_traj("pallas", tag="pallas-kahan",
                         tune=PallasTuning(kahan=True))
+    if MODE == "traj-pallas-exact":
+        # op-cut knobs OFF: isolates whether the frame-1 tracking gap vs
+        # slotted comes from fuse_acc/pj/intcell's ~ulp term regrouping
+        # (the Kahan leg refuted the running-sum-rounding hypothesis)
+        from sphfluidsimulation_tpu.ops.pallas_sph import PallasTuning
+        return run_traj("pallas", tag="pallas-exact",
+                        tune=PallasTuning(fuse_acc=False, intcell=False,
+                                          pj=False))
     if MODE.startswith("traj-"):
         return run_traj(MODE.split("-", 1)[1])
     if MODE == "dt":
