@@ -93,25 +93,68 @@ def _wait_tpu_recovery(max_wait: float | None = None) -> bool:
 
     t0 = time.time()
     attempt = 0
+    plain_ok = False
+    probe_timeouts = 0
     while _remaining() > RECOVERY_FLOOR:
         if max_wait is not None and time.time() - t0 >= max_wait:
             return False
+        ta = time.time()
         try:
-            if not _arm(180):
+            if not _arm(120):
                 return False
-            c = jnp.float32((int(time.time()) % 100000) + attempt)
+            plain_ok = float(jnp.sum(jnp.ones(8))) == 8.0
+            _disarm()
+        except Exception as e:  # noqa: BLE001
+            _disarm()
+            plain_ok = False
+            print(f"recovery[{attempt}] plain check failed after "
+                  f"{time.time() - ta:.0f}s: {type(e).__name__}: "
+                  f"{str(e)[:140]}", file=sys.stderr, flush=True)
+        try:
+            # The cache-buster rides as an INPUT: this jax version rejects
+            # kernels that close over traced constants at TRACE time
+            # ("captures constants ... pass them as inputs"), which made
+            # the round-4 closure-form probe fail INSTANTLY every attempt
+            # — the recovery loop could never succeed and burned the whole
+            # deadline (the real cause behind BENCH_r04's 0.0). A healthy
+            # fresh Mosaic compile takes ~200 s on a busy tunnel, so the
+            # per-attempt alarm is 330 s (the round-4 180 s alarm would
+            # kill healthy compiles too).
+            if not _arm(330):
+                return False
+            c = jnp.full((1, 1), (int(time.time()) % 100000) + attempt,
+                         jnp.float32)
 
-            def _k(x_ref, o_ref, c=c):
-                o_ref[...] = x_ref[...] + c
+            def _k(c_ref, x_ref, o_ref):
+                o_ref[...] = x_ref[...] + c_ref[0, 0]
 
             f = pl.pallas_call(_k, out_shape=jax.ShapeDtypeStruct(
                 (8, 128), jnp.float32))
-            y = float(jnp.sum(f(jnp.ones((8, 128), jnp.float32))))
+            y = float(jnp.sum(f(c, jnp.ones((8, 128), jnp.float32))))
             _disarm()
             assert y == y  # finite dispatch completed
             return True
-        except Exception:  # noqa: BLE001
+        except _StageTimeout:
             _disarm()
+            print(f"recovery[{attempt}] pallas probe timed out after "
+                  f"{time.time() - ta:.0f}s (plain_ok={plain_ok})",
+                  file=sys.stderr, flush=True)
+            attempt += 1
+            probe_timeouts += 1
+            # plain dispatches answer but the compile-helper fleet is
+            # slow/stuck: after two full-length probe timeouts, proceed
+            # optimistically — the stages arm their own alarms, and
+            # recovery re-runs between stages on failure anyway
+            if plain_ok and probe_timeouts >= 2:
+                print("recovery: plain dispatch OK, pallas probe timed "
+                      "out twice; proceeding optimistically",
+                      file=sys.stderr, flush=True)
+                return True
+        except Exception as e:  # noqa: BLE001
+            _disarm()
+            print(f"recovery[{attempt}] pallas probe failed after "
+                  f"{time.time() - ta:.0f}s: {type(e).__name__}: "
+                  f"{str(e)[:140]}", file=sys.stderr, flush=True)
             attempt += 1
             time.sleep(min(20.0, max(1.0, _remaining() - 5)))
     return False
