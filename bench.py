@@ -76,87 +76,97 @@ def _disarm() -> None:
     signal.alarm(0)
 
 
+_PROBE_PLAIN = (
+    "import jax, jax.numpy as jnp;"
+    "assert float(jnp.sum(jnp.ones(8))) == 8.0;"
+    "import os; os._exit(0)")
+
+# The cache-buster rides as an INPUT: this jax version rejects kernels
+# that close over traced constants at TRACE time ("captures constants
+# ... pass them as inputs"), which made the round-4 closure-form probe
+# fail INSTANTLY every attempt — the recovery loop could never succeed
+# and burned the whole deadline (the real cause behind BENCH_r04's 0.0).
+_PROBE_PALLAS = """
+import time, jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+c = jnp.full((1, 1), (int(time.time()) % 100000), jnp.float32)
+def _k(c_ref, x_ref, o_ref):
+    o_ref[...] = x_ref[...] + c_ref[0, 0]
+f = pl.pallas_call(_k, out_shape=jax.ShapeDtypeStruct((8, 128),
+                                                      jnp.float32))
+y = float(jnp.sum(f(c, jnp.ones((8, 128), jnp.float32))))
+assert y == y
+import os; os._exit(0)
+"""
+
+
+def _probe(code: str, budget: float) -> tuple[bool, str]:
+    """Run a TPU probe in a SUBPROCESS bounded by ``budget`` seconds.
+
+    In-process probes cannot be bounded: when the tunneled worker hangs,
+    the axon RPC blocks in native code and SIGALRM handlers never run
+    (measured this round — a 330 s alarm slept through a 9-minute hang).
+    A child process is killable regardless of native state, and a hung
+    dispatch poisons only the child."""
+    import subprocess
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=max(5.0, budget), capture_output=True)
+        if r.returncode == 0:
+            return True, "ok"
+        tail = (r.stderr or b"")[-200:].decode("utf-8", "replace")
+        return False, f"rc={r.returncode}: {tail}"
+    except subprocess.TimeoutExpired:
+        return False, "probe subprocess timed out"
+    except Exception as e:  # noqa: BLE001
+        return False, f"{type(e).__name__}: {e}"
+
+
 def _wait_tpu_recovery(max_wait: float | None = None) -> bool:
     """Wait for the TPU worker; True once a FRESH (cache-busted) Mosaic
-    compile succeeds (plain dispatches recover before the remote
-    tpu_compile_helper fleet does, and a broken helper 500s every real
-    pallas compile while ``jnp.sum`` happily runs).
+    compile succeeds in a probe subprocess (plain dispatches recover
+    before the remote tpu_compile_helper fleet does, and a broken helper
+    500s every real pallas compile while ``jnp.sum`` happily runs).
 
     With ``max_wait=None`` this NEVER gives up while more than
     RECOVERY_FLOOR seconds remain before the deadline — the worker
     recovery takes ~30-40 min worst case and the round-4 fixed cap
-    surrendered with most of the budget unspent.
+    surrendered with most of the budget unspent. A healthy fresh Mosaic
+    mini-compile takes ~200 s on a busy tunnel, so the pallas probe gets
+    330 s; after two full-length pallas-probe failures with plain
+    dispatches answering, proceed optimistically — the stages arm their
+    own alarms, and recovery re-runs between stages on failure anyway.
     """
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-
     t0 = time.time()
     attempt = 0
-    plain_ok = False
     probe_timeouts = 0
     while _remaining() > RECOVERY_FLOOR:
         if max_wait is not None and time.time() - t0 >= max_wait:
             return False
         ta = time.time()
-        try:
-            if not _arm(120):
-                return False
-            plain_ok = float(jnp.sum(jnp.ones(8))) == 8.0
-            _disarm()
-        except Exception as e:  # noqa: BLE001
-            _disarm()
-            plain_ok = False
+        plain_ok, why = _probe(_PROBE_PLAIN, min(120, _remaining()))
+        if not plain_ok:
             print(f"recovery[{attempt}] plain check failed after "
-                  f"{time.time() - ta:.0f}s: {type(e).__name__}: "
-                  f"{str(e)[:140]}", file=sys.stderr, flush=True)
-        try:
-            # The cache-buster rides as an INPUT: this jax version rejects
-            # kernels that close over traced constants at TRACE time
-            # ("captures constants ... pass them as inputs"), which made
-            # the round-4 closure-form probe fail INSTANTLY every attempt
-            # — the recovery loop could never succeed and burned the whole
-            # deadline (the real cause behind BENCH_r04's 0.0). A healthy
-            # fresh Mosaic compile takes ~200 s on a busy tunnel, so the
-            # per-attempt alarm is 330 s (the round-4 180 s alarm would
-            # kill healthy compiles too).
-            if not _arm(330):
-                return False
-            c = jnp.full((1, 1), (int(time.time()) % 100000) + attempt,
-                         jnp.float32)
-
-            def _k(c_ref, x_ref, o_ref):
-                o_ref[...] = x_ref[...] + c_ref[0, 0]
-
-            f = pl.pallas_call(_k, out_shape=jax.ShapeDtypeStruct(
-                (8, 128), jnp.float32))
-            y = float(jnp.sum(f(c, jnp.ones((8, 128), jnp.float32))))
-            _disarm()
-            assert y == y  # finite dispatch completed
-            return True
-        except _StageTimeout:
-            _disarm()
-            print(f"recovery[{attempt}] pallas probe timed out after "
-                  f"{time.time() - ta:.0f}s (plain_ok={plain_ok})",
+                  f"{time.time() - ta:.0f}s: {why[:160]}",
                   file=sys.stderr, flush=True)
             attempt += 1
-            probe_timeouts += 1
-            # plain dispatches answer but the compile-helper fleet is
-            # slow/stuck: after two full-length probe timeouts, proceed
-            # optimistically — the stages arm their own alarms, and
-            # recovery re-runs between stages on failure anyway
-            if plain_ok and probe_timeouts >= 2:
-                print("recovery: plain dispatch OK, pallas probe timed "
-                      "out twice; proceeding optimistically",
-                      file=sys.stderr, flush=True)
-                return True
-        except Exception as e:  # noqa: BLE001
-            _disarm()
-            print(f"recovery[{attempt}] pallas probe failed after "
-                  f"{time.time() - ta:.0f}s: {type(e).__name__}: "
-                  f"{str(e)[:140]}", file=sys.stderr, flush=True)
-            attempt += 1
             time.sleep(min(20.0, max(1.0, _remaining() - 5)))
+            continue
+        ta = time.time()
+        ok, why = _probe(_PROBE_PALLAS, min(330, _remaining()))
+        if ok:
+            return True
+        print(f"recovery[{attempt}] pallas probe failed after "
+              f"{time.time() - ta:.0f}s: {why[:160]}",
+              file=sys.stderr, flush=True)
+        attempt += 1
+        probe_timeouts += 1
+        if probe_timeouts >= 2:
+            print("recovery: plain dispatch OK, pallas probe failed "
+                  "twice; proceeding optimistically",
+                  file=sys.stderr, flush=True)
+            return True
+        time.sleep(min(10.0, max(1.0, _remaining() - 5)))
     return False
 
 
