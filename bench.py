@@ -232,6 +232,10 @@ def main() -> int:
 
     # (name, kwargs, stage_budget_s). Ordered cheapest-first so a number
     # is banked early; later stages only improve the artifact.
+    # headline_1m appears twice: the tunneled worker dies in ~10-20 min
+    # cycles (measured round 5), and a stage that hangs mid-window must
+    # not cost the flagship number its only shot — the retry entry is
+    # skipped when the first attempt banked.
     stages = (
         ("bank_262k", dict(n_particles=1 << 18, frames=10, warmup_frames=3,
                            neighbor="pallas"), 330),
@@ -241,10 +245,14 @@ def main() -> int:
                            neighbor="pallas", steady_frames=80), 420),
         ("ladder_2m", dict(n_particles=1 << 21, frames=10, warmup_frames=3,
                            neighbor="pallas"), 360),
+        ("headline_1m", dict(n_particles=1 << 20, frames=20, warmup_frames=5,
+                             neighbor="pallas"), 300),
     )
-    for name, kwargs, budget in stages:
+    for si, (name, kwargs, budget) in enumerate(stages):
         if _remaining() < 60:
             break
+        if name in banked:
+            continue
         # the steady-state stage rides on the headline stage's success;
         # don't attempt it cold after a headline failure
         if name == "steady_1m" and "headline_1m" not in banked:
@@ -262,7 +270,7 @@ def main() -> int:
             # re-attempt worker recovery before EVERY remaining stage —
             # uncapped: recovery keeps retrying while > RECOVERY_FLOOR s
             # remain, and each later stage still checks its own budget
-            if name != stages[-1][0] and not _wait_tpu_recovery():
+            if si != len(stages) - 1 and not _wait_tpu_recovery():
                 break
 
     # Headline preference: the 1M spawn-window number (comparable to
